@@ -1,0 +1,136 @@
+"""Procedural Manhattan-room scene with exact ground truth.
+
+The framework's in-memory test/benchmark fixture (SURVEY.md §7 build
+order item 1: "synthetic in-memory scene fixture"): an axis-aligned
+room interior rendered analytically, giving exact RGB, depth, surface
+normals, and wall/floor semantics — so unit tests and benchmarks can
+verify the full multi-task pipeline (including the Manhattan clustering
+losses, whose optimum is known: the three wall-axis normals) without
+any dataset download. Plays the role of the reference's hardcoded
+debug scene (reference: train_nerf.py:813-866).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .base import SceneData
+from .ray_utils import get_ray_directions
+
+# inward-facing wall planes of the room [-R, R]^3: (axis, sign)
+_WALLS = [
+    (0, 1.0), (0, -1.0),   # x walls
+    (1, 1.0), (1, -1.0),   # y walls (y+ = floor in cam convention [right down front])
+    (2, 1.0), (2, -1.0),   # z walls
+]
+_WALL_COLORS = np.array([
+    [0.85, 0.30, 0.25],
+    [0.25, 0.60, 0.85],
+    [0.80, 0.75, 0.30],
+    [0.35, 0.80, 0.40],
+    [0.75, 0.35, 0.75],
+    [0.90, 0.60, 0.25],
+], np.float32)
+# semantics_WF convention (reference: hypersim_src/utils.py:199-221):
+# wall=1, floor=2, rest=3
+_WALL_SEM = np.array([1, 1, 2, 3, 1, 1], np.int32)
+
+
+def _trace_room(rays_o, rays_d, R):
+    """Closed-form ray cast against the room interior walls.
+
+    Returns rgb (N,3), depth (N,), normal (N,3) world frame, sem (N,)."""
+    N = rays_o.shape[0]
+    best_t = np.full(N, np.inf, np.float32)
+    hit_wall = np.zeros(N, np.int32)
+    for w, (axis, sign) in enumerate(_WALLS):
+        denom = rays_d[:, axis]
+        t = (sign * R - rays_o[:, axis]) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+        p = rays_o + t[:, None] * rays_d
+        other = [a for a in range(3) if a != axis]
+        inside = (
+            (t > 1e-4)
+            & (np.abs(p[:, other[0]]) <= R + 1e-5)
+            & (np.abs(p[:, other[1]]) <= R + 1e-5)
+        )
+        closer = inside & (t < best_t)
+        best_t = np.where(closer, t, best_t)
+        hit_wall = np.where(closer, w, hit_wall)
+
+    p = rays_o + best_t[:, None] * rays_d
+    rgb = _WALL_COLORS[hit_wall]
+    # checkerboard texture so the radiance field has detail to learn
+    checker = (
+        np.floor(p[:, 0] * 12) + np.floor(p[:, 1] * 12) + np.floor(p[:, 2] * 12)
+    ) % 2
+    rgb = rgb * (0.65 + 0.35 * checker[:, None])
+    normals = np.zeros((N, 3), np.float32)
+    for w, (axis, sign) in enumerate(_WALLS):
+        normals[hit_wall == w, axis] = -sign  # inward
+    sem = _WALL_SEM[hit_wall]
+    depth = best_t.astype(np.float32)
+    return rgb.astype(np.float32), depth, normals, sem
+
+
+def _lookat_pose(position, target, up):
+    vec2 = target - position
+    vec2 = vec2 / np.linalg.norm(vec2)
+    vec0 = np.cross(up, vec2)
+    vec0 = vec0 / np.linalg.norm(vec0)
+    vec1 = np.cross(vec2, vec0)
+    return np.stack([vec0, vec1, vec2, position], axis=1).astype(np.float32)
+
+
+class SyntheticDataset:
+    """Reference-shaped dataset interface over the procedural room."""
+
+    def __init__(self, split="train", img_wh=(64, 64), n_images=12,
+                 room_half=0.4, scale=0.5, seed=0, **kwargs):
+        rng = np.random.default_rng(seed + (1 if split != "train" else 0))
+        W, H = img_wh
+        fx = fy = 0.8 * W
+        K = np.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1]], np.float32)
+        directions = np.asarray(get_ray_directions(H, W, K))
+
+        poses = []
+        for i in range(n_images):
+            pos = rng.uniform(-0.12, 0.12, 3).astype(np.float32)
+            angle = 2 * np.pi * i / n_images + rng.uniform(0, 0.3)
+            target = np.array(
+                [np.cos(angle), 0.25 * np.sin(2 * angle), np.sin(angle)],
+                np.float32) * room_half
+            poses.append(_lookat_pose(pos, target, np.array([0.0, -1.0, 0.0])))
+        poses = np.stack(poses)
+
+        rays, depths, normals, sems = [], [], [], []
+        for i in range(n_images):
+            rd = directions @ poses[i][:, :3].T
+            ro = np.broadcast_to(poses[i][:, 3], rd.shape)
+            rgb, depth, nrm, sem = _trace_room(ro, rd, room_half)
+            rays.append(rgb)
+            depths.append(depth)
+            normals.append(nrm)
+            sems.append(sem)
+
+        self.scene = SceneData(
+            poses=poses,
+            directions=directions.astype(np.float32),
+            rays=np.stack(rays),
+            img_wh=img_wh,
+            K=K,
+            labels={
+                "depth": np.stack(depths),
+                "normals": np.stack(normals),
+                "normals_depth": np.stack(normals),
+                "semantics": np.stack(sems),
+                "semantics_WF": np.stack(sems),
+            },
+            img_ids=[f"syn_{split}_{i:03d}" for i in range(n_images)],
+            n_classes=3,
+            xyz_cam_min=np.full(3, -0.12, np.float32),
+            xyz_cam_max=np.full(3, 0.12, np.float32),
+            scale=scale,
+        )
+        self.split = split
+
+    def load(self) -> SceneData:
+        return self.scene

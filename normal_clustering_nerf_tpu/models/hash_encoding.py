@@ -1,0 +1,164 @@
+"""Multiresolution hash-grid encoding (Instant-NGP) in pure JAX.
+
+TPU-native replacement for tiny-cuda-nn's `tcnn.Encoding` grid
+(reference: models/ngp_mt.py:70-82 configures L=16 levels, F=2
+features, T=2^19 table, N_min=16, growth b, linear interpolation).
+Follows the tcnn Grid algorithm: per level, resolution
+ceil(N_min * b^l - 1) + 1, corner positions floor(x*scale + 0.5),
+dense indexing when the level fits in the table and the
+{1, 2654435761, 805459861} XOR-multiply spatial hash otherwise.
+
+Forward is 8 gathers + trilinear blend per level; backward is XLA's
+native scatter-add into the table (the equivalent of tcnn's atomic
+gradient accumulation). A Pallas-fused variant can plug in behind the
+same interface (ops/pallas/).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridSpec(NamedTuple):
+    """Static per-level geometry of the hash grid."""
+    n_levels: int
+    n_features: int
+    table_size: int              # per-level hash table capacity (2^log2_T)
+    base_res: int
+    per_level_scale: float
+    scales: Sequence[float]      # tcnn 'scale' per level
+    resolutions: Sequence[int]   # cells per axis per level
+    level_offsets: Sequence[int] # row offset of each level in the table
+    total_rows: int
+    dense: Sequence[bool]        # dense indexing (no hashing) per level
+
+    @staticmethod
+    def create(
+        n_levels: int = 16,
+        n_features: int = 2,
+        log2_table_size: int = 19,
+        base_res: int = 16,
+        per_level_scale: float = 1.3819,
+    ) -> "HashGridSpec":
+        T = 1 << log2_table_size
+        scales, resolutions, offsets, dense = [], [], [], []
+        off = 0
+        for l in range(n_levels):
+            # tcnn grid.h: scale = exp2(l*log2(b))*N_min - 1; res = ceil(scale)+1
+            s = math.exp2(l * math.log2(per_level_scale)) * base_res - 1.0
+            res = int(math.ceil(s)) + 1
+            n_cells = res ** 3
+            use_dense = n_cells <= T
+            rows = n_cells if use_dense else T
+            # tcnn aligns level sizes to multiples of 8
+            rows = (rows + 7) // 8 * 8
+            scales.append(s)
+            resolutions.append(res)
+            offsets.append(off)
+            dense.append(use_dense)
+            off += rows
+        return HashGridSpec(
+            n_levels=n_levels, n_features=n_features, table_size=T,
+            base_res=base_res, per_level_scale=per_level_scale,
+            scales=tuple(scales), resolutions=tuple(resolutions),
+            level_offsets=tuple(offsets), total_rows=off, dense=tuple(dense),
+        )
+
+
+def init_hash_table(key, spec: HashGridSpec, dtype=jnp.float32):
+    """tcnn default init: uniform in [-1e-4, 1e-4]."""
+    return jax.random.uniform(
+        key, (spec.total_rows, spec.n_features), dtype=dtype,
+        minval=-1e-4, maxval=1e-4,
+    )
+
+
+def _corner_index(ix, iy, iz, res: int, dense: bool, table_size: int):
+    """Row index of an integer grid corner at one level."""
+    if dense:
+        return (ix * res + iy) * res + iz
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
+        ^ iy.astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[1])
+        ^ iz.astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[2])
+    )
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def hash_encode(table, x, spec: HashGridSpec, compute_dtype=jnp.float32):
+    """Encode positions through all levels.
+
+    Args:
+      table: (total_rows, F) parameters.
+      x: (M, 3) positions normalized to [0, 1]^3
+        (reference: models/ngp_mt.py:166 normalizes before encoding).
+    Returns:
+      (M, L*F) features, concatenated level-major.
+    """
+    x = x.astype(jnp.float32)
+    feats = []
+    for l in range(spec.n_levels):
+        s = spec.scales[l]
+        res = spec.resolutions[l]
+        # tcnn: pos = x*scale + 0.5, corner = floor(pos), w = frac(pos)
+        pos = x * s + 0.5
+        p0 = jnp.floor(pos)
+        w = pos - p0
+        p0 = p0.astype(jnp.int32)
+
+        level_rows = []
+        level_wts = []
+        for c in range(8):
+            cx, cy, cz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+            ix = jnp.clip(p0[:, 0] + cx, 0, res - 1)
+            iy = jnp.clip(p0[:, 1] + cy, 0, res - 1)
+            iz = jnp.clip(p0[:, 2] + cz, 0, res - 1)
+            idx = _corner_index(ix, iy, iz, res, spec.dense[l], spec.table_size)
+            level_rows.append(spec.level_offsets[l] + idx)
+            wx = w[:, 0] if cx else 1.0 - w[:, 0]
+            wy = w[:, 1] if cy else 1.0 - w[:, 1]
+            wz = w[:, 2] if cz else 1.0 - w[:, 2]
+            level_wts.append(wx * wy * wz)
+        rows = jnp.stack(level_rows, axis=1)            # (M, 8)
+        wts = jnp.stack(level_wts, axis=1)              # (M, 8)
+        gathered = table[rows].astype(compute_dtype)    # (M, 8, F)
+        feats.append(jnp.einsum("mc,mcf->mf", wts.astype(compute_dtype), gathered))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def hash_encode_reference_np(table, x, spec: HashGridSpec):
+    """NumPy oracle for tests (same math, scalar-explicit)."""
+    table = np.asarray(table)
+    x = np.asarray(x)
+    M = x.shape[0]
+    out = np.zeros((M, spec.n_levels * spec.n_features), np.float32)
+    for l in range(spec.n_levels):
+        s, res = spec.scales[l], spec.resolutions[l]
+        pos = x * s + 0.5
+        p0 = np.floor(pos).astype(np.int64)
+        w = pos - p0
+        acc = np.zeros((M, spec.n_features), np.float32)
+        for c in range(8):
+            cx, cy, cz = (c >> 2) & 1, (c >> 1) & 1, c & 1
+            ii = np.clip(p0 + [cx, cy, cz], 0, res - 1)
+            if spec.dense[l]:
+                idx = (ii[:, 0] * res + ii[:, 1]) * res + ii[:, 2]
+            else:
+                h = (
+                    ii[:, 0].astype(np.uint32) * np.uint32(_HASH_PRIMES[0])
+                    ^ ii[:, 1].astype(np.uint32) * np.uint32(_HASH_PRIMES[1])
+                    ^ ii[:, 2].astype(np.uint32) * np.uint32(_HASH_PRIMES[2])
+                )
+                idx = h & np.uint32(spec.table_size - 1)
+            wx = w[:, 0] if cx else 1 - w[:, 0]
+            wy = w[:, 1] if cy else 1 - w[:, 1]
+            wz = w[:, 2] if cz else 1 - w[:, 2]
+            acc += (wx * wy * wz)[:, None] * table[spec.level_offsets[l] + idx]
+        out[:, l * spec.n_features:(l + 1) * spec.n_features] = acc
+    return out

@@ -1,0 +1,214 @@
+"""Occupancy-grid maintenance as pure functions over explicit state.
+
+TPU-native re-design of the reference's buffer-mutating methods
+(reference: models/ngp_mt.py:231-368): the density grid, count grid and
+bitfield live in an explicit `OccupancyState` pytree; every update is a
+jitted pure function, so the periodic grid refresh composes with pjit
+and the multi-chip `pmax` merge (parallel/).
+
+Cell indexing: linear x-fastest within each cascade, matching
+`ops.ray_march.occupancy_lookup` (the reference uses Morton order for
+GPU locality, models/ngp_mt.py:240; layout is internal so we pick the
+TPU-cheaper one — ops/morton.py still provides the codes for parity
+tests and the sampling path below mirrors the reference's logic).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.packbits import packbits
+
+
+class OccupancyState(NamedTuple):
+    density_grid: jnp.ndarray    # (C, G^3) float32; -1 marks invisible cells
+    density_bitfield: jnp.ndarray  # (C*G^3/8,) uint8
+    count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
+
+
+class OccupancyGrid:
+    """Static geometry + pure update functions (state passed explicitly)."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.G = cfg.grid_size
+        self.cascades = cfg.cascades
+        self.scale = cfg.scale
+
+    def init_state(self) -> OccupancyState:
+        G3 = self.G ** 3
+        return OccupancyState(
+            density_grid=jnp.zeros((self.cascades, G3), jnp.float32),
+            density_bitfield=jnp.zeros((self.cascades * G3 // 8,), jnp.uint8),
+            count_grid=jnp.zeros((self.cascades, G3), jnp.float32),
+        )
+
+    # ------------------------------------------------------------ geometry
+    def cell_coords(self, indices):
+        """Flat linear cell index -> integer (x, y, z) grid coords."""
+        G = self.G
+        x = indices % G
+        y = (indices // G) % G
+        z = indices // (G * G)
+        return jnp.stack([x, y, z], axis=-1)
+
+    def cell_world_pos(self, coords, cascade: int, jitter=None):
+        """Cell coords -> world position at a cascade, optionally jittered
+        inside the cell (reference: models/ngp_mt.py:350-354)."""
+        G = self.G
+        s = min(2.0 ** (cascade - 1), self.scale)
+        half = s / G
+        xyz = (coords.astype(jnp.float32) / (G - 1) * 2.0 - 1.0) * (s - half)
+        if jitter is not None:
+            xyz = xyz + (jitter * 2.0 - 1.0) * half
+        return xyz
+
+    # ------------------------------------------------------- cell sampling
+    def sample_update_cells(self, state: OccupancyState, key, density_threshold):
+        """M = G^3/4 uniform + M occupied cells per cascade
+        (reference: models/ngp_mt.py:245-271). Occupied cells are drawn
+        with probability proportional to (density > threshold); when none
+        qualify the draw degenerates to uniform (the reference keeps the
+        raw nonzero() indices in that case — an empty set; masking by
+        weight-sum handles it equivalently here).
+
+        Returns (indices (C, 2M), coords (C, 2M, 3)).
+        """
+        G3 = self.G ** 3
+        M = G3 // 4
+        keys = jax.random.split(key, 2 * self.cascades)
+        all_idx, all_coords = [], []
+        for c in range(self.cascades):
+            k_u, k_o = keys[2 * c], keys[2 * c + 1]
+            uniform_idx = jax.random.randint(k_u, (M,), 0, G3)
+            occ_w = (state.density_grid[c] > density_threshold).astype(jnp.float32)
+            occ_any = jnp.sum(occ_w) > 0
+            p = jnp.where(occ_any, occ_w, jnp.ones_like(occ_w))
+            p = p / jnp.sum(p)
+            occ_idx = jax.random.choice(k_o, G3, shape=(M,), replace=True, p=p)
+            idx = jnp.concatenate([uniform_idx, occ_idx]).astype(jnp.int32)
+            all_idx.append(idx)
+            all_coords.append(self.cell_coords(idx))
+        return jnp.stack(all_idx), jnp.stack(all_coords)
+
+    # ------------------------------------------------------------- updates
+    def update(
+        self,
+        state: OccupancyState,
+        density_fn,
+        key,
+        density_threshold: float,
+        warmup: bool,
+        decay: float = 0.95,
+        erode: bool = False,
+    ) -> OccupancyState:
+        """EMA-merge fresh sigma samples into the grid and repack bits
+        (reference: models/ngp_mt.py:339-368).
+
+        Args:
+          density_fn: params-closed callable (M, 3) -> (M,) sigma.
+          warmup: evaluate all cells (steps < 256, train_nerf.py:319).
+        """
+        G3 = self.G ** 3
+        tmp = jnp.zeros_like(state.density_grid)
+        if warmup:
+            idx = jnp.arange(G3, dtype=jnp.int32)
+            coords = self.cell_coords(idx)
+            for c in range(self.cascades):
+                k = jax.random.fold_in(key, c)
+                jit_pos = jax.random.uniform(k, coords.shape)
+                xyz = self.cell_world_pos(coords, c, jit_pos)
+                tmp = tmp.at[c, idx].set(density_fn(xyz))
+        else:
+            k_cells, k_jit = jax.random.split(key)
+            idxs, coords = self.sample_update_cells(state, k_cells, density_threshold)
+            for c in range(self.cascades):
+                k = jax.random.fold_in(k_jit, c)
+                jit_pos = jax.random.uniform(k, coords[c].shape)
+                xyz = self.cell_world_pos(coords[c], c, jit_pos)
+                # duplicate indices: keep max (reference overwrites; max is
+                # deterministic under XLA scatter and at least as tight)
+                tmp = tmp.at[c, idxs[c]].max(density_fn(xyz))
+        if erode:
+            # decay more the cells seen by few cameras (ngp_mt.py:357-359)
+            decay_arr = jnp.clip(
+                decay ** (1.0 / jnp.maximum(state.count_grid, 1e-8)), 0.1, 0.95
+            )
+        else:
+            decay_arr = decay
+        grid = jnp.where(
+            state.density_grid < 0,
+            state.density_grid,
+            jnp.maximum(state.density_grid * decay_arr, tmp),
+        )
+        pos = grid > 0
+        mean_density = jnp.sum(jnp.where(pos, grid, 0.0)) / jnp.maximum(
+            jnp.sum(pos), 1
+        )
+        thr = jnp.minimum(mean_density, density_threshold)
+        bitfield = packbits(grid, thr)
+        return OccupancyState(grid, bitfield, state.count_grid)
+
+    # ---------------------------------------------------- visibility marks
+    def mark_invisible_cells(
+        self,
+        state: OccupancyState,
+        poses,                    # (N_cams, 3, 4) c2w
+        img_wh: Tuple[int, int],
+        near_distance: float,
+        K: Optional[jnp.ndarray] = None,
+        proj: Optional[Tuple] = None,  # Hypersim (M_ndc_from_cam, M_uv_from_ndc, shift, scale)
+    ) -> OccupancyState:
+        """Mark cells never covered by any camera with density -1 and build
+        the per-cell camera-coverage count grid
+        (reference: models/ngp_mt.py:273-337). Supports both pinhole K and
+        the Hypersim projection-matrix tuple (ngp_mt.py:291-321).
+        """
+        G3 = self.G ** 3
+        w2c_R = jnp.swapaxes(poses[:, :3, :3], 1, 2)          # (N, 3, 3)
+        w2c_T = -w2c_R @ poses[:, :3, 3:]                     # (N, 3, 1)
+        idx = jnp.arange(G3, dtype=jnp.int32)
+        coords = self.cell_coords(idx)
+
+        density = state.density_grid
+        counts = state.count_grid
+        for c in range(self.cascades):
+            xyzs_w = self.cell_world_pos(coords, c).T          # (3, G3)
+            xyzs_c = w2c_R @ xyzs_w + w2c_T                    # (N, 3, G3)
+            if proj is not None:
+                M_ndc, M_uv, _shift, scale = proj
+                xc = xyzs_c * (2.0 * scale)                    # back to metric
+                ones = jnp.ones_like(xc[:, :1])
+                xc_h = jnp.concatenate([xc, ones], axis=1)     # (N, 4, G3)
+                clip = M_ndc @ xc_h
+                ndc = clip / clip[:, 3:]
+                uvd = M_uv @ ndc
+                uv = uvd[:, :2]
+            else:
+                uvd = K @ xyzs_c                               # (N, 3, G3)
+                uv = uvd[:, :2] / uvd[:, 2:]
+            in_image = (
+                (uvd[:, 2] >= 0)
+                & (uv[:, 0] >= 0) & (uv[:, 0] < img_wh[0])
+                & (uv[:, 1] >= 0) & (uv[:, 1] < img_wh[1])
+            )
+            covered = (uvd[:, 2] >= near_distance) & in_image  # (N, G3)
+            count = jnp.sum(covered, axis=0) / poses.shape[0]
+            too_near = jnp.any((uvd[:, 2] < near_distance) & in_image, axis=0)
+            valid = (count > 0) & (~too_near)
+            counts = counts.at[c].set(count)
+            density = density.at[c].set(jnp.where(valid, 0.0, -1.0))
+        return OccupancyState(density, state.density_bitfield, counts)
+
+    # ------------------------------------------------------ multi-chip sync
+    @staticmethod
+    def merge_across_chips(state: OccupancyState, axis_name: str) -> OccupancyState:
+        """pmax-merge per-chip grid updates (SURVEY.md §5.8): each chip
+        samples different cells; the max over chips is the union of their
+        evidence. Call inside shard_map after `update`."""
+        grid = jax.lax.pmax(state.density_grid, axis_name)
+        bitfield = jax.lax.pmax(state.density_bitfield, axis_name)
+        return OccupancyState(grid, bitfield, state.count_grid)

@@ -1,0 +1,184 @@
+"""N-channel front-to-back alpha compositing over dense masked sample buffers.
+
+TPU-native equivalent of the reference's ragged-buffer CUDA kernels
+(reference: models/csrc/volumerendering.cu:98-176 forward,
+:298-418 backward). Design differences, on purpose:
+
+* Samples live in a dense (n_rays, K) layout with a validity mask
+  instead of atomically-compacted ragged buffers — static shapes for
+  XLA, deterministic, and the per-ray scan becomes a vectorized
+  cumulative op over the sample axis.
+* Transmittance is computed as exp(-cumsum(sigma*delta)) rather than a
+  running product — identical in exact arithmetic (prod exp(-x_i) =
+  exp(-sum x_i)), smooth, and it never produces exact zeros that would
+  poison the cumprod gradient.
+* Early ray termination (volumerendering.cu:133: break when
+  T <= T_threshold) becomes a non-differentiable inclusion mask:
+  sample s contributes iff its *entering* transmittance
+  T_excl(s) > T_threshold, which reproduces the reference's "include
+  the crossing sample, drop the rest" semantics.
+* The backward pass is plain JAX autodiff of this forward; it is
+  analytically identical to the hand-derived CUDA gradient
+  (volumerendering.cu:349-359). `composite_reference_grads` implements
+  that CUDA formula directly and is tested against autodiff
+  (tests/test_composite.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SIGDT_MAX = 80.0  # exp(-80) ~ 1.8e-35: far below any T_threshold
+
+
+def composite_rays(sigmas, raws, deltas, ts, valid, T_threshold=1e-4):
+    """Composite dense per-ray samples front-to-back.
+
+    Args:
+      sigmas: (N, K) densities.
+      raws:   (N, K, C) per-sample channels (rgb [+normals] [+sem logits]).
+      deltas: (N, K) integration step sizes.
+      ts:     (N, K) sample distances along the ray.
+      valid:  (N, K) bool mask of real (marched) samples.
+      T_threshold: early-termination transmittance.
+
+    Returns dict with:
+      opacity (N,), depth (N,), rend (N, C), ws (N, K) sample weights,
+      vr_samples (N,) effective composited samples per ray (matching the
+      reference's total_samples counter semantics,
+      volumerendering.cu:120-136).
+    """
+    sig_dt = jnp.where(valid, sigmas * deltas, 0.0)
+    sig_dt = jnp.clip(sig_dt, 0.0, _SIGDT_MAX)
+    # exclusive cumulative optical depth -> transmittance entering sample s
+    tau_excl = jnp.cumsum(sig_dt, axis=-1) - sig_dt
+    T_excl = jnp.exp(-tau_excl)
+    alpha = -jnp.expm1(-sig_dt)  # 1 - exp(-sigma*delta)
+
+    include = valid & (T_excl > T_threshold)
+    w = jnp.where(include, alpha * T_excl, 0.0)
+
+    opacity = jnp.sum(w, axis=-1)
+    depth = jnp.sum(w * ts, axis=-1)
+    rend = jnp.einsum("nk,nkc->nc", w, raws)
+
+    # reference counter: the sample that crosses the threshold is
+    # composited but not counted (volumerendering.cu:130-136)
+    T_after = T_excl * (1.0 - alpha)
+    early_stopped = jnp.any(include & (T_after <= T_threshold), axis=-1)
+    vr_samples = jnp.sum(include, axis=-1) - early_stopped.astype(jnp.int32)
+
+    return {
+        "opacity": opacity,
+        "depth": depth,
+        "rend": rend,
+        "ws": w,
+        "vr_samples": vr_samples,
+    }
+
+
+def composite_rays_compact(
+    sigmas, raws, deltas, ts, ray_id, ray_start, valid, n_rays,
+    T_threshold=1e-4, T_start=None,
+):
+    """Composite flat ray-major sample segments (the training hot path).
+
+    Same math as `composite_rays` but on the compact (budget,) layout
+    produced by `march_rays_train`: the per-ray exclusive transmittance
+    scan becomes a global cumsum minus a per-ray base gathered at
+    segment starts, and per-ray reductions are segment-sums over
+    `ray_id`. This is the TPU replacement for the reference's per-ray
+    CUDA loop over ragged segments
+    (models/csrc/volumerendering.cu:120-136).
+
+    Args:
+      sigmas: (B,), raws: (B, C), deltas/ts: (B,).
+      ray_id: (B,) int32 owning ray (ray-major sorted).
+      ray_start: (N,) int32 first slot of each ray's segment.
+      valid: (B,) bool.
+      n_rays: static int N.
+      T_start: optional (N,) per-ray initial transmittance for
+        round-continued inference compositing (the reference's
+        `T = 1 - opacity[r]`, volumerendering.cu:531).
+
+    Returns dict: opacity (N,), depth (N,), rend (N, C), ws (B,),
+      vr_samples (N,).
+    """
+    sig_dt = jnp.where(valid, sigmas * deltas, 0.0)
+    sig_dt = jnp.clip(sig_dt, 0.0, _SIGDT_MAX)
+    csum = jnp.cumsum(sig_dt)
+    tau_incl = csum
+    # per-ray base: inclusive cumsum just before each segment start
+    start_safe = jnp.clip(ray_start - 1, 0, sig_dt.shape[0] - 1)
+    base = jnp.where(ray_start > 0, csum[start_safe], 0.0)
+    tau_excl = tau_incl - sig_dt - base[ray_id]
+    T_excl = jnp.exp(-tau_excl)
+    if T_start is not None:
+        T_excl = T_excl * T_start[ray_id]
+    alpha = -jnp.expm1(-sig_dt)
+
+    include = valid & (T_excl > T_threshold)
+    w = jnp.where(include, alpha * T_excl, 0.0)
+
+    seg = lambda x: jax.ops.segment_sum(x, ray_id, num_segments=n_rays)
+    opacity = seg(w)
+    depth = seg(w * ts)
+    rend = seg(w[:, None] * raws)
+
+    T_after = T_excl * (1.0 - alpha)
+    early = include & (T_after <= T_threshold)
+    vr_samples = seg(include.astype(jnp.int32)) - seg(early.astype(jnp.int32))
+
+    return {
+        "opacity": opacity,
+        "depth": depth,
+        "rend": rend,
+        "ws": w,
+        "vr_samples": vr_samples,
+    }
+
+
+def composite_reference_grads(
+    sigmas, raws, deltas, ts, valid, T_threshold,
+    dL_dopacity, dL_ddepth, dL_drend, dL_dws,
+):
+    """Direct implementation of the reference's hand-derived backward
+    (models/csrc/volumerendering.cu:298-364) on the dense layout.
+
+    Used as the test oracle for autodiff of `composite_rays`. Returns
+    (dL_dsigmas, dL_draws) with zeros outside the included samples.
+    """
+    out = composite_rays(sigmas, raws, deltas, ts, valid, T_threshold)
+    w = out["ws"]
+
+    sig_dt = jnp.clip(jnp.where(valid, sigmas * deltas, 0.0), 0.0, _SIGDT_MAX)
+    tau_excl = jnp.cumsum(sig_dt, axis=-1) - sig_dt
+    T_excl = jnp.exp(-tau_excl)
+    alpha = -jnp.expm1(-sig_dt)
+    include = valid & (T_excl > T_threshold)
+    T_after = T_excl * (1.0 - alpha)
+
+    # dL/draws[s, c] = dL/drend[c] * w[s]   (volumerendering.cu:355)
+    dL_draws = dL_drend[:, None, :] * w[:, :, None]
+
+    # suffix sums: REND - rend_incl_s = sum_{k>s} w_k raw_k   etc.
+    wraw = w[:, :, None] * raws
+    suffix_rend = jnp.flip(jnp.cumsum(jnp.flip(wraw, 1), axis=1), 1) - wraw
+    wt = w * ts
+    suffix_depth = jnp.flip(jnp.cumsum(jnp.flip(wt, 1), axis=1), 1) - wt
+    dww = dL_dws * w
+    suffix_dww = jnp.flip(jnp.cumsum(jnp.flip(dww, 1), axis=1), 1) - dww
+
+    grad_rend_term = jnp.sum(
+        dL_drend[:, None, :] * (raws * T_after[:, :, None] - suffix_rend), axis=-1
+    )
+    grad_opacity_term = dL_dopacity[:, None] * (1.0 - out["opacity"][:, None])
+    grad_depth_term = dL_ddepth[:, None] * (ts * T_after - suffix_depth)
+    grad_ws_term = T_after * dL_dws - suffix_dww
+
+    dL_dsigmas = deltas * (
+        grad_rend_term + grad_opacity_term + grad_depth_term + grad_ws_term
+    )
+    dL_dsigmas = jnp.where(include, dL_dsigmas, 0.0)
+    dL_draws = jnp.where(include[:, :, None], dL_draws, 0.0)
+    return dL_dsigmas, dL_draws

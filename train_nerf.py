@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Training CLI — reference-compatible entry point.
+
+Drop-in analogue of the reference's `python train_nerf.py ...`
+(reference: train_nerf.py:808-967) with the same flag names (opt.py).
+Builds the dataset, trains with the jitted TPU pipeline, validates,
+and writes the results.csv contract consumed by the experiments layer.
+"""
+import os
+import sys
+
+from normal_clustering_nerf_tpu.config import TrainConfig
+
+
+def main(argv=None):
+    # Platform override must go through jax.config: this image's
+    # sitecustomize pre-imports jax, so JAX_PLATFORMS env is already read.
+    platform = os.environ.get("NCNERF_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    cfg = TrainConfig.from_args(argv)
+    if not cfg.no_debug:
+        cfg = cfg.debug_overrides()
+
+    from normal_clustering_nerf_tpu.parallel import initialize_multihost
+    initialize_multihost()
+
+    from normal_clustering_nerf_tpu.datasets import get_dataset
+    ds_cls = get_dataset(cfg.data.dataset_name)
+    if cfg.data.dataset_name == "synthetic":
+        train_ds = ds_cls(split=cfg.data.split)
+        test_ds = ds_cls(split="test")
+    else:
+        train_ds = ds_cls(
+            root_dir=cfg.data.root_dir, split=cfg.data.split,
+            split_factor=cfg.data.split_factor, downsample=cfg.data.downsample,
+            load_depth_gt=cfg.data.load_depth_gt,
+            load_norm_gt=cfg.data.load_norm_gt,
+            load_norm_depth_gt=cfg.data.load_norm_depth_gt,
+            load_sem_gt=cfg.data.load_sem_gt,
+            load_sem_WF_gt=cfg.data.load_sem_WF_gt,
+        )
+        test_ds = ds_cls(
+            root_dir=cfg.data.root_dir, split="test",
+            split_factor=cfg.data.split_factor, downsample=cfg.data.downsample,
+            load_depth_gt=cfg.data.load_depth_gt,
+            load_norm_gt=cfg.data.load_norm_gt,
+            load_norm_depth_gt=cfg.data.load_norm_depth_gt,
+            load_sem_gt=cfg.data.load_sem_gt,
+            load_sem_WF_gt=cfg.data.load_sem_WF_gt,
+        )
+
+    from normal_clustering_nerf_tpu.training import Trainer
+    trainer = Trainer(cfg, train_ds.load(), test_ds.load())
+
+    if cfg.weight_path:
+        from normal_clustering_nerf_tpu.training.checkpoints import load_weights
+        params = load_weights(cfg.weight_path, trainer.state.params)
+        trainer.state = trainer.state._replace(params=params)
+
+    if not cfg.eval.val_only:
+        trainer.fit(log_every=100 if cfg.no_debug else 10)
+
+    metrics = trainer.validate()
+    print("validation:", {k: round(v, 4) for k, v in metrics.items()})
+
+    log_dir = os.path.join(cfg.log_root_dir, cfg.exp_name or "run")
+    os.makedirs(log_dir, exist_ok=True)
+    from normal_clustering_nerf_tpu.training.results import save_results_csv
+    save_results_csv(os.path.join(log_dir, "results.csv"), metrics, cfg)
+
+    if cfg.save_checkpoint:
+        from normal_clustering_nerf_tpu.training.checkpoints import save_checkpoint
+        save_checkpoint(os.path.join(log_dir, "ckpt"), trainer.state)
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
