@@ -14,7 +14,7 @@ import dataclasses
 from functools import partial
 
 import jax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..datasets.sampler import RaySampler

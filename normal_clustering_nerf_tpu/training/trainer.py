@@ -12,6 +12,7 @@ metric suite and Manhattan rotation recovery.
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Dict, Optional
@@ -221,7 +222,7 @@ class Trainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------ fit
-    def fit(self, log_every: int = 100, log_fn=print):
+    def fit(self, log_every: int = 100, log_fn=print, logger=None):
         cfg = self.cfg
         total = cfg.optim.num_epochs * cfg.optim.steps_per_epoch
         self.mark_invisible_cells()
@@ -245,6 +246,8 @@ class Trainer:
                     f"vr/ray={m.get('vr_samples_per_ray', 0):.1f} "
                     f"({rate:.1f} it/s)"
                 )
+                if logger is not None:
+                    logger.log_scalars(m, step + 1, prefix="train/")
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------- validate
@@ -277,9 +280,12 @@ class Trainer:
             res[k] = res[k].reshape(H, W)
         return res
 
-    def validate(self) -> Dict[str, float]:
-        """Render the test split, compute the metric suite
-        (train_nerf.py:381-460)."""
+    def validate(self, save_vis_dir: Optional[str] = None,
+                 save_preds_dir: Optional[str] = None,
+                 logger=None) -> Dict[str, float]:
+        """Render the test split, compute the metric suite, optionally
+        export vis PNGs / raw-pred tarballs and recover the Manhattan
+        rotation (train_nerf.py:381-528)."""
         cfg = self.cfg
         scene = self.scene_test or self.scene_train
         agg = NeRFMTMetricsPerIm(
@@ -320,6 +326,49 @@ class Trainer:
             agg.update(pred, gt)
             depths.append(res["depth"])
             preds.append(pred)
+            if save_vis_dir:
+                from .visualize import pack_vis_panel, save_vis_png
+                panel = pack_vis_panel(
+                    pred, n_classes=max(scene.n_classes, 3),
+                    downsample=cfg.eval.downsample_vis)
+                save_vis_png(os.path.join(
+                    save_vis_dir, f"{scene.img_ids[i] or i}_pred.png"), panel)
+                gt_panel = pack_vis_panel(
+                    {k: v for k, v in gt.items()},
+                    n_classes=max(scene.n_classes, 3),
+                    downsample=cfg.eval.downsample_vis)
+                save_vis_png(os.path.join(
+                    save_vis_dir, f"{scene.img_ids[i] or i}_gt.png"), gt_panel)
+            if logger is not None:
+                from .visualize import pack_vis_panel
+                logger.log_image(
+                    f"val/{scene.img_ids[i] or i}",
+                    pack_vis_panel(pred, n_classes=max(scene.n_classes, 3),
+                                   downsample=cfg.eval.downsample_vis),
+                    int(self.state.step))
         out = agg.compute()
+
+        # Manhattan-frame rotation recovery from all test depth-normals
+        # (train_nerf.py:489-528)
+        if cfg.model.pred_norm_depth and preds and "norm_depth" in preds[0]:
+            from .rotation_recovery import rotation_recovery_errors
+            all_nd = np.concatenate(
+                [p["norm_depth"].reshape(-1, 3) for p in preds])
+            try:
+                out.update(rotation_recovery_errors(
+                    all_nd, self.R_offset,
+                    jax.random.PRNGKey(cfg.seed ^ 0xA11)))
+            except Exception as e:  # degenerate clustering early in training
+                out["ang/clust/failed"] = 1.0
+
+        if save_preds_dir:
+            from .visualize import save_preds_tar_gz
+            pred_stack = {
+                k: [p[k] for p in preds] for k in preds[0]
+            }
+            save_preds_tar_gz(
+                save_preds_dir, pred_stack, scene.img_ids, "test", "pred")
+        if logger is not None:
+            logger.log_scalars(out, int(self.state.step), prefix="test/")
         self._last_val_preds = preds
         return out

@@ -60,16 +60,31 @@ def main(argv=None):
         params = load_weights(cfg.weight_path, trainer.state.params)
         trainer.state = trainer.state._replace(params=params)
 
-    if not cfg.eval.val_only:
-        trainer.fit(log_every=100 if cfg.no_debug else 10)
-
-    metrics = trainer.validate()
-    print("validation:", {k: round(v, 4) for k, v in metrics.items()})
-
     log_dir = os.path.join(cfg.log_root_dir, cfg.exp_name or "run")
     os.makedirs(log_dir, exist_ok=True)
+    from normal_clustering_nerf_tpu.training.loggers import MetricLogger
+    logger = MetricLogger(log_dir, use_wandb=cfg.no_debug,
+                          run_name=cfg.exp_name)
+
+    if not cfg.eval.val_only:
+        trainer.fit(log_every=100 if cfg.no_debug else 10, logger=logger)
+
+    metrics = trainer.validate(
+        save_vis_dir=os.path.join(log_dir, "results")
+        if cfg.eval.save_test_vis else None,
+        save_preds_dir=os.path.join(log_dir, "preds")
+        if cfg.eval.save_test_preds else None,
+        logger=logger,
+    )
+    print("validation:", {k: round(v, 4) for k, v in metrics.items()})
+
     from normal_clustering_nerf_tpu.training.results import save_results_csv
-    save_results_csv(os.path.join(log_dir, "results.csv"), metrics, cfg)
+    save_results_csv(
+        os.path.join(log_dir, "results.csv"), metrics, cfg,
+        info={"step": int(trainer.state.step),
+              "scene": getattr(train_ds, "scene_name", cfg.data.dataset_name)},
+    )
+    logger.close()
 
     if cfg.save_checkpoint:
         from normal_clustering_nerf_tpu.training.checkpoints import save_checkpoint
