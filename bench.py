@@ -11,7 +11,14 @@ Baseline: the reference runs ~30 it/s x 8192 rays ~= 0.25 M rays/s on
 an RTX 2080 Ti (BASELINE.md). Prints one JSON line.
 """
 import json
+import sys
 import time
+
+T0 = time.time()
+
+
+def _log(msg):
+    print(f"[bench {time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -42,12 +49,16 @@ def main():
                         ray_sampling_strategy="all_images_triang"),
         optim=OptimConfig(num_epochs=1, steps_per_epoch=1000),
     )
+    _log("building scene + trainer")
     scene = SyntheticDataset(split="train", img_wh=(128, 128), n_images=16).load()
     trainer = Trainer(cfg, scene)
+    _log("marking invisible cells")
     trainer.mark_invisible_cells()
+    jax.block_until_ready(trainer.state.occ.density_grid)
 
     # warmup: let the occupancy grid converge so the march reflects
     # steady-state sparsity (as in real training)
+    _log("warmup: compiling occupancy update + train step")
     warm_steps = 128
     for step in range(warm_steps):
         if step % cfg.optim.update_interval == 0:
@@ -55,9 +66,18 @@ def main():
             occ = trainer._occ_update[step < cfg.optim.warmup_steps](
                 trainer.state.occ, trainer.state.params, k)
             trainer.state = trainer.state._replace(occ=occ)
+            if step == 0:
+                jax.block_until_ready(occ.density_grid)
+                _log("occ warmup update compiled")
         trainer.state, metrics = trainer._train_step(
             trainer.state, trainer.scene_dev)
+        if step == 0:
+            jax.block_until_ready(trainer.state.params)
+            _log("train step compiled")
+        if step == 16:
+            _log("regular occ update compiled")
     jax.block_until_ready(trainer.state.params)
+    _log(f"warmup done ({warm_steps} steps)")
 
     n_steps = 200
     t0 = time.perf_counter()

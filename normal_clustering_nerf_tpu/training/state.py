@@ -81,16 +81,23 @@ def build_optimizer(cfg: TrainConfig, params: Dict[str, Any]):
 
 def create_train_state(cfg: TrainConfig, model, occ_grid, key, n_images: int):
     k_model, k_state = jax.random.split(key)
-    params: Dict[str, Any] = {"model": model.init(k_model)}
-    if cfg.optim.optimize_ext:
-        params["dR"] = jnp.zeros((n_images, 3))
-        params["dT"] = jnp.zeros((n_images, 3))
-    if cfg.optim.lr_dR_norm_glob > 0:
-        params["dR_glob"] = jnp.zeros((3,))  # axis-angle identity coding
-    if cfg.loss.manhattan_nerf_w > 0:
-        params["theta_WF"] = jnp.zeros(())
+
+    # one jitted graph for the whole init: on tunneled TPU backends every
+    # eager op is a separate (slow) remote compile
+    def _init(k):
+        params: Dict[str, Any] = {"model": model.init(k)}
+        if cfg.optim.optimize_ext:
+            params["dR"] = jnp.zeros((n_images, 3))
+            params["dT"] = jnp.zeros((n_images, 3))
+        if cfg.optim.lr_dR_norm_glob > 0:
+            params["dR_glob"] = jnp.zeros((3,))  # axis-angle identity coding
+        if cfg.loss.manhattan_nerf_w > 0:
+            params["theta_WF"] = jnp.zeros(())
+        return params
+
+    params = jax.jit(_init)(k_model)
     tx = build_optimizer(cfg, params)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(
         params=params,
         opt_state=opt_state,

@@ -121,18 +121,22 @@ class Trainer:
         )
 
     def mark_invisible_cells(self):
-        """One-time camera-coverage marking (train_nerf.py:306-312)."""
+        """One-time camera-coverage marking (train_nerf.py:306-312),
+        jitted into a single graph (each eager op costs a full remote
+        compile round-trip on tunneled TPU backends)."""
         scene = self.scene_train
-        occ = self.occ_grid.mark_invisible_cells(
-            self.state.occ,
-            jnp.asarray(scene.poses),
-            scene.img_wh,
-            self.cfg.model.near_dist,
-            K=jnp.asarray(scene.K) if scene.K is not None else None,
-            proj=tuple(jnp.asarray(np.asarray(p, np.float32))
-                       if not np.isscalar(p) else p for p in scene.proj)
-            if scene.proj is not None else None,
-        )
+        if scene.proj is not None:
+            proj_static = tuple(
+                jnp.asarray(np.asarray(p, np.float32))
+                if not np.isscalar(p) else float(p) for p in scene.proj)
+            fn = jax.jit(lambda occ, poses: self.occ_grid.mark_invisible_cells(
+                occ, poses, scene.img_wh, self.cfg.model.near_dist,
+                proj=proj_static))
+        else:
+            K = jnp.asarray(scene.K)
+            fn = jax.jit(lambda occ, poses: self.occ_grid.mark_invisible_cells(
+                occ, poses, scene.img_wh, self.cfg.model.near_dist, K=K))
+        occ = fn(self.state.occ, jnp.asarray(scene.poses))
         self.state = self.state._replace(occ=occ)
 
     # ------------------------------------------------------------ train step
