@@ -28,6 +28,7 @@ utils.py}) in plain numpy/h5py:
 from __future__ import annotations
 
 import json
+import math
 import os
 import random
 from typing import Dict, List, Optional
@@ -94,26 +95,52 @@ def load_label(images_dir, cam, frame, which):
 
 
 # ------------------------------------------------------------------ camera
+def standard_cam_matrices(W, H, wfov=math.pi / 3.0, near=1.0, far=1000.0):
+    """Projective matrices of Hypersim's standard (non-physical) camera.
+
+    All non-physical Hypersim scenes use a 60-degree horizontal fov
+    OpenGL camera with near=1, far=1000 asset units; the published
+    metadata_camera_parameters.csv rows for those scenes are exactly:
+      M_cam_from_uv = diag(tan(w/2), tan(w/2)*H/W, -1)
+      M_proj = perspective(1/tan(w/2), 1/tan(h/2), near, far)
+    Used as the fallback when the CSV is not available (only the ~few
+    physical-camera scenes genuinely need it).
+    """
+    tw = math.tan(wfov / 2.0)
+    th = tw * H / W
+    M_cam_from_uv = np.array(
+        [[tw, 0, 0], [0, th, 0], [0, 0, -1.0]], np.float32)
+    M_proj = np.array([
+        [1.0 / tw, 0, 0, 0],
+        [0, 1.0 / th, 0, 0],
+        [0, 0, -(far + near) / (far - near), -2 * far * near / (far - near)],
+        [0, 0, -1.0, 0],
+    ], np.float32)
+    return M_cam_from_uv, M_proj
+
+
 class HypersimCamModel:
     """Per-scene projective camera (cam_model.py:13-201)."""
 
     def __init__(self, scene_root_dir, scene_name, H, W,
                  camera_params_csv: Optional[str] = None):
-        import pandas as pd
-
         self.H, self.W = H, W
         csv_path = camera_params_csv or os.path.join(
             os.path.dirname(__file__), "hypersim_src_meta",
             "metadata_camera_parameters.csv")
-        df = pd.read_csv(csv_path, index_col="scene_name").loc[scene_name]
-        self.M_cam_from_uv = np.array([
-            [df["M_cam_from_uv_00"], df["M_cam_from_uv_01"], df["M_cam_from_uv_02"]],
-            [df["M_cam_from_uv_10"], df["M_cam_from_uv_11"], df["M_cam_from_uv_12"]],
-            [df["M_cam_from_uv_20"], df["M_cam_from_uv_21"], df["M_cam_from_uv_22"]],
-        ], np.float32)
-        self.M_ndc_from_cam = np.array([
-            [df[f"M_proj_{i}{j}"] for j in range(4)] for i in range(4)
-        ], np.float32)
+        if os.path.isfile(csv_path):
+            import pandas as pd
+            df = pd.read_csv(csv_path, index_col="scene_name").loc[scene_name]
+            self.M_cam_from_uv = np.array([
+                [df["M_cam_from_uv_00"], df["M_cam_from_uv_01"], df["M_cam_from_uv_02"]],
+                [df["M_cam_from_uv_10"], df["M_cam_from_uv_11"], df["M_cam_from_uv_12"]],
+                [df["M_cam_from_uv_20"], df["M_cam_from_uv_21"], df["M_cam_from_uv_22"]],
+            ], np.float32)
+            self.M_ndc_from_cam = np.array([
+                [df[f"M_proj_{i}{j}"] for j in range(4)] for i in range(4)
+            ], np.float32)
+        else:
+            self.M_cam_from_uv, self.M_ndc_from_cam = standard_cam_matrices(W, H)
         # uv<-ndc with flipped v (cam_model.py:73-78)
         self.M_uv_from_ndc = np.array([
             [0.5 * (W - 1), 0, 0, 0.5 * (W - 1)],
@@ -122,6 +149,7 @@ class HypersimCamModel:
             [0, 0, 0, 1.0],
         ], np.float32)
         # meters per asset unit (utils.py:445-455)
+        import pandas as pd
         meta = pd.read_csv(os.path.join(scene_root_dir, "_detail",
                                         "metadata_scene.csv"))
         sel = meta["parameter_name"] == "meters_per_asset_unit"
@@ -203,7 +231,8 @@ def clip_depths_to_bbox(depths, P_wc, poses, xyz_min, xyz_max):
     P_bnd = np.clip(P_wc, xyz_min[None, None], xyz_max[None, None])
     cam = poses[:, None, :3, 3]
     denom = P_wc - cam
-    S = np.where(np.abs(denom) < 1e-12, 1.0, (P_bnd - cam) / denom)
+    safe = np.where(np.abs(denom) < 1e-12, 1.0, denom)
+    S = np.where(np.abs(denom) < 1e-12, 1.0, (P_bnd - cam) / safe)
     S = np.where(depths[..., None] == 0.0, 1.0, S)
     return depths * S.min(-1)
 

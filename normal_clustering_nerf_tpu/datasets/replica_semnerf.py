@@ -42,7 +42,12 @@ class ReplicaSemNerfDataset:
             os.path.dirname(root_dir), "semantic_info", scene_name)
         seq_dir = os.path.join(root_dir, "Sequence_1")
 
-        H0, W0 = 480, 640
+        rgb_probe = sorted(glob.glob(os.path.join(seq_dir, "rgb", "rgb*.png")))
+        assert rgb_probe, f"no rgb frames under {seq_dir}"
+        probe = cv2.imread(rgb_probe[0])
+        # 640x480 for real Replica renders (scene.py:52); derived here so
+        # synthetic fixtures can be smaller
+        H0, W0 = probe.shape[:2]
         H, W = int(H0 * downsample), int(W0 * downsample)
         hfov = 90.0
         fx = W / 2.0 / math.tan(math.radians(hfov / 2.0))
