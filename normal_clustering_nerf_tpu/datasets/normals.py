@@ -15,7 +15,16 @@ import jax.numpy as jnp
 
 
 def _normalize(v, eps=1e-12):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Zero-safe unit normalization (returns 0 for zero vectors).
+
+    Uses the double-where pattern: naive `v / max(||v||, eps)` is value-
+    safe but its *gradient* at v=0 is NaN, and `0 * NaN = NaN` poisons
+    the whole backward pass (degenerate triangles with equal unprojected
+    points are common on zero-depth background rays)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = sq > eps
+    safe = jnp.where(ok, sq, 1.0)
+    return jnp.where(ok, v / jnp.sqrt(safe), 0.0)
 
 
 def extract_normals_from_ray_batch(rays_o, rays_d, depth, x123_idx):

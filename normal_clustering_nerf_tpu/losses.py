@@ -35,6 +35,14 @@ def _masked_mean(x, mask, axis=None):
     return jnp.sum(x * m, axis=axis) / jnp.maximum(jnp.sum(m, axis=axis), 1.0)
 
 
+def _safe_unit(v, eps=1e-12):
+    """Zero-safe normalize with NaN-free gradient (double-where)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = sq > eps
+    safe = jnp.where(ok, sq, 1.0)
+    return jnp.where(ok, v / jnp.sqrt(safe), 0.0)
+
+
 def _finite_or_zero(loss):
     """NaN/Inf guard (reference: losses.py:246-262)."""
     return jnp.where(jnp.isfinite(loss), loss, 0.0)
@@ -119,7 +127,7 @@ def _clustering_losses(norm_D_C, lcfg: LossConfig, key, step):
     cs = []
     for g in range(3):
         mean = _masked_mean(normals, member[g][:, None], axis=0)
-        cs.append(mean / jnp.maximum(jnp.linalg.norm(mean), 1e-12))
+        cs.append(_safe_unit(mean[None, :])[0])
     c1, c2, c3 = cs
 
     loss_ort = (
@@ -277,10 +285,8 @@ def compute_losses(
             loss_d["norm_D_L1"] = _finite_or_zero(lcfg.norm_depth_L1_w * l1)
         if lcfg.norm_depth_dot_w > 0:
             # cosine-similarity form (losses.py:208)
-            nd = norm_depth_gt / jnp.maximum(
-                jnp.linalg.norm(norm_depth_gt, axis=-1, keepdims=True), 1e-8)
-            nt = nom_tar / jnp.maximum(
-                jnp.linalg.norm(nom_tar, axis=-1, keepdims=True), 1e-8)
+            nd = _safe_unit(norm_depth_gt)
+            nt = _safe_unit(nom_tar)
             dot = _masked_mean(1.0 - jnp.sum(nd * nt, axis=-1), m)
             loss_d["norm_D_dot"] = _finite_or_zero(lcfg.norm_depth_dot_w * dot)
 

@@ -62,11 +62,14 @@ def _apply_mlp(params, x, out_act=None, compute_dtype=jnp.float32):
 class NGPMT:
     """Stateless model: holds static config, operates on param pytrees."""
 
-    def __init__(self, cfg: ModelConfig):
+    def __init__(self, cfg: ModelConfig, need_pos_grad: bool = False):
         self.cfg = cfg
         self.scale = cfg.scale
         self.grid_size = cfg.grid_size
         self.cascades = cfg.cascades
+        # propagate position gradients through the hash encoding only
+        # when camera extrinsics are optimized (see hash_encoding.py)
+        self.need_pos_grad = need_pos_grad
         self.rgb_act = "None" if cfg.use_exposure else "Sigmoid"
         self.grid_spec = HashGridSpec.create(
             n_levels=cfg.n_levels,
@@ -112,7 +115,8 @@ class NGPMT:
         (reference: models/ngp_mt.py:157-171)."""
         xn = (x + self.scale) / (2.0 * self.scale)  # -> [0, 1]^3
         enc = hash_encode(
-            params["hash_table"], xn, self.grid_spec, self.compute_dtype
+            params["hash_table"], xn, self.grid_spec, self.compute_dtype,
+            need_dx=self.need_pos_grad,
         )
         h = _apply_mlp(params["sigma_net"], enc, compute_dtype=self.compute_dtype)
         sigmas = trunc_exp(h[:, 0].astype(jnp.float32))

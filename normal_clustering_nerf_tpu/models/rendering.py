@@ -61,9 +61,10 @@ def _split_rend(model, rend):
     if model.cfg.pred_norm_nn:
         norm = rend[..., i:i + 3]
         if model.cfg.pred_norm_nn_norm:
-            norm = norm / jnp.maximum(
-                jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-12
-            )
+            # zero-safe normalize (NaN-free gradient at zero vectors)
+            sq = jnp.sum(norm * norm, axis=-1, keepdims=True)
+            ok = sq > 1e-12
+            norm = jnp.where(ok, norm / jnp.sqrt(jnp.where(ok, sq, 1.0)), 0.0)
         out["norm_nn"] = norm
         i += 3
     if model.cfg.pred_sem:
@@ -133,6 +134,7 @@ def render_train(
         exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
         max_samples=cfg.max_samples, sample_budget=budget,
         march_steps=rcfg.march_block,
+        per_ray_cap=budget // N,
     )
 
     # field evaluation on the compact (budget) batch; t is a constant of

@@ -197,6 +197,7 @@ def march_rays_train(
     max_samples: int,
     sample_budget: int,
     march_steps: int = 0,
+    per_ray_cap: int = 0,
 ) -> MarchResult:
     """March all rays and compact occupied samples into a flat budget.
 
@@ -214,6 +215,11 @@ def march_rays_train(
         (sufficient for any scene whose ray span is <= sqrt(3), i.e.
         scale <= 0.5; larger scenes march coarser steps so S =
         max_samples still covers — see module docstring).
+      per_ray_cap: additional per-ray sample cap (0 = none). When the
+        budget would overflow, a fair per-ray cap (budget/n_rays) keeps
+        every ray represented instead of the ray-major prefix starving
+        late rays — important early in training when the occupancy grid
+        is dense and rays march hundreds of samples.
     """
     N = rays_o.shape[0]
     S = march_steps or max_samples
@@ -234,9 +240,9 @@ def march_rays_train(
     )
     in_range = (t1 >= 0)[:, None] & (tg < t2[:, None])
     hit = occ & in_range
-    # per-ray sample cap (only binds if S > max_samples)
     cnt = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
-    include = hit & (cnt <= max_samples)
+    cap = min(max_samples, per_ray_cap) if per_ray_cap else max_samples
+    include = hit & (cnt <= cap)
     return compact_samples(include, tg, dtg, B)
 
 

@@ -54,7 +54,7 @@ def make_sharded_train_step(trainer, mesh, axis_name: str = "rays"):
         body, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -73,6 +73,6 @@ def make_sharded_occ_update(trainer, mesh, warmup: bool,
         body, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -58,7 +58,8 @@ class Trainer:
         self.cfg = cfg
         self.scene_train = scene_train
         self.scene_test = scene_test
-        self.model = NGPMT(cfg.model)
+        need_pos_grad = cfg.optim.optimize_ext or cfg.optim.lr_dR_norm_glob > 0
+        self.model = NGPMT(cfg.model, need_pos_grad=need_pos_grad)
         self.occ_grid = OccupancyGrid(cfg.model)
 
         if cfg.data.keep_N_tr != -1:

@@ -32,6 +32,31 @@ def test_hash_encode_matches_numpy_oracle(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-7)
 
 
+def test_hash_encode_custom_vjp_matches_autodiff(rng):
+    """The TPU-shaped custom backward must match plain autodiff of the
+    forward implementation (table and position gradients)."""
+    from normal_clustering_nerf_tpu.models.hash_encoding import (
+        _hash_encode_fwd_impl, hash_encode_vjp,
+    )
+    spec = HashGridSpec.create(n_levels=5, log2_table_size=10, base_res=4,
+                               per_level_scale=1.6)
+    table = init_hash_table(jax.random.PRNGKey(3), spec)
+    x = jnp.asarray(rng.random((64, 3)).astype(np.float32)) * 0.98 + 0.01
+    g_out = jnp.asarray(rng.standard_normal(
+        (64, spec.n_levels * spec.n_features)).astype(np.float32))
+
+    def loss_ref(t, xx):
+        return jnp.sum(_hash_encode_fwd_impl(t, xx, spec) * g_out)
+
+    def loss_vjp(t, xx):
+        return jnp.sum(hash_encode_vjp(t, xx, spec, True) * g_out)
+
+    gt_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(table, x)
+    gt_vjp, gx_vjp = jax.grad(loss_vjp, argnums=(0, 1))(table, x)
+    np.testing.assert_allclose(gt_vjp, gt_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(gx_vjp, gx_ref, rtol=1e-3, atol=1e-5)
+
+
 def test_hash_encode_grad_scatters_to_table():
     spec = HashGridSpec.create(n_levels=4, log2_table_size=10, base_res=4,
                                per_level_scale=1.5)
