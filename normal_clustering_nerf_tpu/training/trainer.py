@@ -377,3 +377,28 @@ class Trainer:
             logger.log_scalars(out, int(self.state.step), prefix="test/")
         self._last_val_preds = preds
         return out
+
+    def save_train_preds(self, save_dir: str):
+        """Render the train split and export pred+gt tarballs
+        (reference: train_nerf.py:747-779 _save_train_preds)."""
+        from .visualize import save_preds_tar_gz
+        scene = self.scene_train
+        W, H = scene.img_wh
+        preds, gts = [], []
+        for i in range(scene.n_images):
+            res = self.render_image(scene.poses[i], jnp.asarray(scene.directions))
+            pred = {"rgb": np.asarray(res["rgb"]),
+                    "depth": np.asarray(res["depth"])}
+            for k in ("norm_nn", "sem"):
+                if k in res:
+                    pred[k] = np.asarray(res[k])
+            preds.append(pred)
+            gt = {"rgb": scene.rays[i, :, :3].reshape(H, W, 3)}
+            for k, v in scene.labels.items():
+                gt[k] = (v[i].reshape(H, W, -1) if v[i].ndim == 2
+                         else v[i].reshape(H, W))
+            gts.append(gt)
+        pred_stack = {k: [p[k] for p in preds] for k in preds[0]}
+        gt_stack = {k: [g[k] for g in gts] for k in gts[0]}
+        save_preds_tar_gz(save_dir, pred_stack, scene.img_ids, "train", "pred")
+        save_preds_tar_gz(save_dir, gt_stack, scene.img_ids, "train", "gt")

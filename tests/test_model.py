@@ -57,6 +57,33 @@ def test_hash_encode_custom_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(gx_vjp, gx_ref, rtol=1e-3, atol=1e-5)
 
 
+def test_hash_encode_dedupe_path_matches_autodiff(rng):
+    """Ray-coherent positions engage the run-dedupe scatter path in the
+    custom backward; gradients must stay exact."""
+    from normal_clustering_nerf_tpu.models.hash_encoding import (
+        _hash_encode_fwd_impl, hash_encode_vjp,
+    )
+    spec = HashGridSpec.create(n_levels=4, log2_table_size=12, base_res=4,
+                               per_level_scale=2.0)
+    table = init_hash_table(jax.random.PRNGKey(5), spec)
+    # marching-like samples: few rays, many tiny steps -> long runs
+    o = rng.random((4, 3)).astype(np.float32) * 0.2 + 0.1
+    d = rng.standard_normal((4, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.linspace(0, 0.5, 64, dtype=np.float32)
+    x = jnp.asarray(
+        (o[:, None, :] + t[None, :, None] * d[:, None, :]).reshape(-1, 3))
+    x = jnp.clip(x, 0.01, 0.99)
+    g_out = jnp.asarray(rng.standard_normal(
+        (x.shape[0], spec.n_levels * spec.n_features)).astype(np.float32))
+
+    gt_ref = jax.grad(
+        lambda tt: jnp.sum(_hash_encode_fwd_impl(tt, x, spec) * g_out))(table)
+    gt_vjp = jax.grad(
+        lambda tt: jnp.sum(hash_encode_vjp(tt, x, spec, False) * g_out))(table)
+    np.testing.assert_allclose(gt_vjp, gt_ref, rtol=1e-4, atol=1e-7)
+
+
 def test_hash_encode_grad_scatters_to_table():
     spec = HashGridSpec.create(n_levels=4, log2_table_size=10, base_res=4,
                                per_level_scale=1.5)

@@ -59,6 +59,12 @@ def main(argv=None):
         from normal_clustering_nerf_tpu.training.checkpoints import load_weights
         params = load_weights(cfg.weight_path, trainer.state.params)
         trainer.state = trainer.state._replace(params=params)
+    if cfg.ckpt_path:
+        # full resume: params + optimizer + occupancy grid + step
+        from normal_clustering_nerf_tpu.training.checkpoints import (
+            restore_checkpoint,
+        )
+        trainer.state = restore_checkpoint(cfg.ckpt_path, trainer.state)
 
     log_dir = os.path.join(cfg.log_root_dir, cfg.exp_name or "run")
     os.makedirs(log_dir, exist_ok=True)
@@ -77,6 +83,9 @@ def main(argv=None):
         logger=logger,
     )
     print("validation:", {k: round(v, 4) for k, v in metrics.items()})
+
+    if cfg.eval.save_train_preds:
+        trainer.save_train_preds(os.path.join(log_dir, "preds"))
 
     from normal_clustering_nerf_tpu.training.results import save_results_csv
     save_results_csv(
