@@ -25,6 +25,10 @@ import numpy as np
 
 _HASH_PRIMES = (1, 2654435761, 805459861)
 
+import os as _os
+
+_DEDUPE_SCATTER_ENABLED = _os.environ.get("NCNERF_DEDUPE_SCATTER", "0") == "1"
+
 
 class HashGridSpec(NamedTuple):
     """Static per-level geometry of the hash grid."""
@@ -207,9 +211,13 @@ def _hash_vjp_bwd(spec, need_dx, res, g):
         # corner-major flattening: consecutive elements are consecutive
         # samples of the same corner -> run structure for dedupe
         rows_cm = rows.T.reshape(-1)
-        # dedupe pays off when the expected run length exceeds ~2,
-        # i.e. step size < half the cell size (coarse levels)
-        use_dedupe = spec.resolutions[l] <= 256
+        # NOTE: the run-dedupe path (_run_dedupe_scatter) measured 3x
+        # faster in isolation but regressed the full train step (its
+        # compaction .set scatters don't vectorize in the fused graph);
+        # kept available behind the env toggle for future kernels.
+        use_dedupe = (
+            spec.resolutions[l] <= 256 and _DEDUPE_SCATTER_ENABLED
+        )
         for f in range(F):
             vals_cm = (wts * g_l[:, f:f + 1]).T.reshape(-1)  # (M*8,)
             if use_dedupe:
