@@ -35,6 +35,13 @@ class ModelConfig:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     finest_resolution: int = 2048  # b = exp(ln(finest*scale/base)/(L-1))
+    # hash-table layout: 'brick' = TPU-fast 4^3-vertex brick rows (one
+    # aligned row scatter per level in the backward, ~10x faster — see
+    # models/brick_hash.py); 'tcnn' = canonical tiny-cuda-nn vertex
+    # layout (bit-exact tcnn parity, used by the parity test suite).
+    # Equal parameter count: 64 * 2^log2_bricks == 2^log2_hashmap_size.
+    hash_layout: str = "brick"
+    log2_bricks: int = 13
     # MLP widths/depths (reference: models/ngp_mt.py:83-140)
     hidden_dim: int = 64
     sigma_hidden_layers: int = 1

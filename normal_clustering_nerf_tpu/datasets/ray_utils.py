@@ -12,26 +12,37 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def get_ray_directions(H, W, K, random=False, key=None, flatten=True):
+def get_ray_directions(H, W, K, random=False, rng=None, flatten=True):
     """Pinhole per-pixel ray directions in camera frame [right down front]
     (reference: datasets/ray_utils.py:8-42).
 
-    Returns (H*W, 3) (or (H, W, 3) when flatten=False).
+    Pure numpy: this is host-side dataset-init geometry, and on the TPU
+    tunnel a device round-trip here would be both wasteful and (on the
+    experimental axon backend) poison the process into a degraded
+    dispatch mode — keep dataset code off-device.
+
+    Args:
+      random: jitter pixel offsets uniformly in-cell instead of +0.5.
+      rng: np.random.Generator for the random path.
+    Returns (H*W, 3) float32 (or (H, W, 3) when flatten=False).
     """
-    u, v = jnp.meshgrid(
-        jnp.arange(W, dtype=jnp.float32),
-        jnp.arange(H, dtype=jnp.float32),
+    u, v = np.meshgrid(
+        np.arange(W, dtype=np.float32),
+        np.arange(H, dtype=np.float32),
         indexing="xy",
     )
+    K = np.asarray(K)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     if random:
-        ju = jax.random.uniform(key, u.shape)
-        jv = jax.random.uniform(jax.random.fold_in(key, 1), v.shape)
-        dirs = jnp.stack([(u - cx + ju) / fx, (v - cy + jv) / fy,
-                          jnp.ones_like(u)], -1)
+        rng = rng or np.random.default_rng(0)
+        ju = rng.uniform(size=u.shape).astype(np.float32)
+        jv = rng.uniform(size=v.shape).astype(np.float32)
+        dirs = np.stack([(u - cx + ju) / fx, (v - cy + jv) / fy,
+                         np.ones_like(u)], -1)
     else:
-        dirs = jnp.stack([(u - cx + 0.5) / fx, (v - cy + 0.5) / fy,
-                          jnp.ones_like(u)], -1)
+        dirs = np.stack([(u - cx + 0.5) / fx, (v - cy + 0.5) / fy,
+                         np.ones_like(u)], -1)
+    dirs = dirs.astype(np.float32)
     if flatten:
         return dirs.reshape(-1, 3)
     return dirs

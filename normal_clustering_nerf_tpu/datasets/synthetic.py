@@ -89,7 +89,7 @@ class SyntheticDataset:
         W, H = img_wh
         fx = fy = 0.8 * W
         K = np.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1]], np.float32)
-        directions = np.asarray(get_ray_directions(H, W, K))
+        directions = get_ray_directions(H, W, K)
 
         poses = []
         for i in range(n_images):

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.trunc_exp import trunc_exp
+from .brick_hash import BrickGridSpec, brick_encode, init_brick_table
 from .hash_encoding import HashGridSpec, hash_encode, init_hash_table
 
 Params = Dict[str, Any]
@@ -71,13 +72,22 @@ class NGPMT:
         # when camera extrinsics are optimized (see hash_encoding.py)
         self.need_pos_grad = need_pos_grad
         self.rgb_act = "None" if cfg.use_exposure else "Sigmoid"
-        self.grid_spec = HashGridSpec.create(
-            n_levels=cfg.n_levels,
-            n_features=cfg.n_features_per_level,
-            log2_table_size=cfg.log2_hashmap_size,
-            base_res=cfg.base_resolution,
-            per_level_scale=cfg.per_level_scale,
-        )
+        if cfg.hash_layout == "brick":
+            self.grid_spec = BrickGridSpec.create(
+                n_levels=cfg.n_levels,
+                n_features=cfg.n_features_per_level,
+                log2_bricks=cfg.log2_bricks,
+                base_res=cfg.base_resolution,
+                per_level_scale=cfg.per_level_scale,
+            )
+        else:
+            self.grid_spec = HashGridSpec.create(
+                n_levels=cfg.n_levels,
+                n_features=cfg.n_features_per_level,
+                log2_table_size=cfg.log2_hashmap_size,
+                base_res=cfg.base_resolution,
+                per_level_scale=cfg.per_level_scale,
+            )
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     # ------------------------------------------------------------ init
@@ -87,8 +97,10 @@ class NGPMT:
         enc_dim = cfg.n_levels * cfg.n_features_per_level
         geo = cfg.geo_feat_dim
         W = cfg.hidden_dim
+        init_table = (init_brick_table if cfg.hash_layout == "brick"
+                      else init_hash_table)
         params: Params = {
-            "hash_table": init_hash_table(ks[0], self.grid_spec),
+            "hash_table": init_table(ks[0], self.grid_spec),
             "sigma_net": _init_mlp(
                 ks[1], [enc_dim] + [W] * cfg.sigma_hidden_layers + [geo]
             ),
@@ -114,7 +126,9 @@ class NGPMT:
         """sigma at world positions x in [-scale, scale]^3
         (reference: models/ngp_mt.py:157-171)."""
         xn = (x + self.scale) / (2.0 * self.scale)  # -> [0, 1]^3
-        enc = hash_encode(
+        encode = (brick_encode if self.cfg.hash_layout == "brick"
+                  else hash_encode)
+        enc = encode(
             params["hash_table"], xn, self.grid_spec, self.compute_dtype,
             need_dx=self.need_pos_grad,
         )

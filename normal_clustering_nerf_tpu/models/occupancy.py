@@ -27,6 +27,33 @@ class OccupancyState(NamedTuple):
     density_grid: jnp.ndarray    # (C, G^3) float32; -1 marks invisible cells
     density_bitfield: jnp.ndarray  # (C*G^3/8,) uint8
     count_grid: jnp.ndarray      # (C, G^3) float32 camera-coverage fraction
+    # 1-dilated (G/8)^3 supervoxel occupancy (uint8 0/1) of cascade 0,
+    # consumed by the blocked two-level ray march (ops/ray_march.py):
+    # coarse probes prune empty 16-step blocks before the exact
+    # fine-cell lookups. Always kept in sync with density_bitfield.
+    coarse_occ: jnp.ndarray      # ((G/8)^3,) uint8
+
+
+def coarse_occupancy(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
+    """Dilated supervoxel mask from the packed cascade-0 bitfield.
+
+    Max-pools the G^3 occupancy bits into (G/8)^3 supervoxels and
+    dilates by one supervoxel in each axis so a probe at any point
+    within one supervoxel edge of an occupied cell tests positive —
+    the conservativeness contract of the blocked march.
+    """
+    G = grid_size
+    Gc = G // 8
+    bits = (bitfield[: G ** 3 // 8, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    occ = bits.reshape(G, G, G)                       # [z, y, x] layout
+    coarse = occ.reshape(Gc, 8, Gc, 8, Gc, 8).max(axis=(1, 3, 5))
+    for axis in range(3):
+        lo = jnp.roll(coarse, 1, axis=axis).at[
+            (slice(None),) * axis + (0,)].set(0)
+        hi = jnp.roll(coarse, -1, axis=axis).at[
+            (slice(None),) * axis + (Gc - 1,)].set(0)
+        coarse = jnp.maximum(coarse, jnp.maximum(lo, hi))
+    return coarse.reshape(-1).astype(jnp.uint8)
 
 
 class OccupancyGrid:
@@ -44,6 +71,7 @@ class OccupancyGrid:
             density_grid=jnp.zeros((self.cascades, G3), jnp.float32),
             density_bitfield=jnp.zeros((self.cascades * G3 // 8,), jnp.uint8),
             count_grid=jnp.zeros((self.cascades, G3), jnp.float32),
+            coarse_occ=jnp.zeros(((self.G // 8) ** 3,), jnp.uint8),
         )
 
     # ------------------------------------------------------------ geometry
@@ -150,7 +178,8 @@ class OccupancyGrid:
         )
         thr = jnp.minimum(mean_density, density_threshold)
         bitfield = packbits(grid, thr)
-        return OccupancyState(grid, bitfield, state.count_grid)
+        coarse = coarse_occupancy(bitfield, self.G)
+        return OccupancyState(grid, bitfield, state.count_grid, coarse)
 
     # ---------------------------------------------------- visibility marks
     def mark_invisible_cells(
@@ -201,7 +230,9 @@ class OccupancyGrid:
             valid = (count > 0) & (~too_near)
             counts = counts.at[c].set(count)
             density = density.at[c].set(jnp.where(valid, 0.0, -1.0))
-        return OccupancyState(density, state.density_bitfield, counts)
+        return OccupancyState(
+            density, state.density_bitfield, counts, state.coarse_occ
+        )
 
     # ------------------------------------------------------ multi-chip sync
     @staticmethod
@@ -211,4 +242,7 @@ class OccupancyGrid:
         evidence. Call inside shard_map after `update`."""
         grid = jax.lax.pmax(state.density_grid, axis_name)
         bitfield = jax.lax.pmax(state.density_bitfield, axis_name)
-        return OccupancyState(grid, bitfield, state.count_grid)
+        # dilation commutes with max, so pmax of per-chip coarse masks is
+        # exactly the coarse mask of the pmax'd bitfield
+        coarse = jax.lax.pmax(state.coarse_occ, axis_name)
+        return OccupancyState(grid, bitfield, state.count_grid, coarse)

@@ -126,18 +126,22 @@ class Trainer:
         jitted into a single graph (each eager op costs a full remote
         compile round-trip on tunneled TPU backends)."""
         scene = self.scene_train
+        # closures must hold HOST numpy constants, never device arrays:
+        # tracing a closed-over device array embeds it as an HLO literal
+        # via a device->host fetch, which flips the axon TPU tunnel into
+        # a permanently degraded (~1000x slower) dispatch mode.
         if scene.proj is not None:
             proj_static = tuple(
-                jnp.asarray(np.asarray(p, np.float32))
+                np.asarray(p, np.float32)
                 if not np.isscalar(p) else float(p) for p in scene.proj)
             fn = jax.jit(lambda occ, poses: self.occ_grid.mark_invisible_cells(
                 occ, poses, scene.img_wh, self.cfg.model.near_dist,
                 proj=proj_static))
         else:
-            K = jnp.asarray(scene.K)
+            K = np.asarray(scene.K, np.float32)
             fn = jax.jit(lambda occ, poses: self.occ_grid.mark_invisible_cells(
                 occ, poses, scene.img_wh, self.cfg.model.near_dist, K=K))
-        occ = fn(self.state.occ, jnp.asarray(scene.poses))
+        occ = fn(self.state.occ, jnp.asarray(np.asarray(scene.poses)))
         self.state = self.state._replace(occ=occ)
 
     # ------------------------------------------------------------ train step
