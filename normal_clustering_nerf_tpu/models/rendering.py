@@ -23,9 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from ..ops.composite import composite_rays_compact
+from ..ops.composite import composite_rays, composite_rays_compact
 from ..ops.ray_aabb import ray_aabb_intersect
-from ..ops.ray_march import march_rays_test_round, march_rays_train
+from ..ops.ray_march import (
+    march_rays_test_round, march_rays_test_round_dense, march_rays_train,
+    march_rays_train_dense,
+)
 
 
 def _anneal_hits(hits_t, global_step, strategy, anneal_steps, depth_gt=None):

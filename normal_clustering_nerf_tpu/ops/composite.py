@@ -31,7 +31,8 @@ import jax.numpy as jnp
 _SIGDT_MAX = 80.0  # exp(-80) ~ 1.8e-35: far below any T_threshold
 
 
-def composite_rays(sigmas, raws, deltas, ts, valid, T_threshold=1e-4):
+def composite_rays(sigmas, raws, deltas, ts, valid, T_threshold=1e-4,
+                   T_start=None):
     """Composite dense per-ray samples front-to-back.
 
     Args:
@@ -41,6 +42,9 @@ def composite_rays(sigmas, raws, deltas, ts, valid, T_threshold=1e-4):
       ts:     (N, K) sample distances along the ray.
       valid:  (N, K) bool mask of real (marched) samples.
       T_threshold: early-termination transmittance.
+      T_start: optional (N,) per-ray initial transmittance for
+        round-continued inference compositing (the reference's
+        `T = 1 - opacity[r]`, volumerendering.cu:531).
 
     Returns dict with:
       opacity (N,), depth (N,), rend (N, C), ws (N, K) sample weights,
@@ -53,6 +57,8 @@ def composite_rays(sigmas, raws, deltas, ts, valid, T_threshold=1e-4):
     # exclusive cumulative optical depth -> transmittance entering sample s
     tau_excl = jnp.cumsum(sig_dt, axis=-1) - sig_dt
     T_excl = jnp.exp(-tau_excl)
+    if T_start is not None:
+        T_excl = T_excl * T_start[:, None]
     alpha = -jnp.expm1(-sig_dt)  # 1 - exp(-sigma*delta)
 
     include = valid & (T_excl > T_threshold)

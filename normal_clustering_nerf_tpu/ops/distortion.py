@@ -33,6 +33,25 @@ def distortion_loss(ws, deltas, ts, ray_id, ray_start, valid, n_rays):
     return jax.ops.segment_sum(per_sample, ray_id, num_segments=n_rays)
 
 
+def distortion_loss_dense(ws, deltas, ts, valid):
+    """Distortion loss on the dense (N, K) per-ray layout.
+
+    Same math as `distortion_loss` (reference: models/csrc/losses.cu:
+    62-107) with the per-ray segment scans degenerating to row-wise
+    cumsums — no segment bookkeeping, no gathers.
+
+    Returns: (N,) per-ray loss.
+    """
+    w = jnp.where(valid, ws, 0.0)
+    wts = w * ts
+    ws_in = jnp.cumsum(w, axis=-1)
+    wts_in = jnp.cumsum(wts, axis=-1)
+    ws_ex = ws_in - w
+    wts_ex = wts_in - wts
+    per_sample = 2.0 * (wts_in * ws_ex - ws_in * wts_ex) + (1.0 / 3.0) * w * w * deltas
+    return jnp.sum(jnp.where(valid, per_sample, 0.0), axis=-1)
+
+
 def distortion_reference_grad(dL_dloss, ws, deltas, ts, ray_id, ray_start, valid, n_rays):
     """Direct implementation of losses.cu:110-140 (test oracle).
 

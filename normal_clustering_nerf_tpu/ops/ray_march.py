@@ -254,6 +254,131 @@ def march_rays_train(
     return compact_samples(include, tg, dtg, B)
 
 
+class DenseMarchResult(NamedTuple):
+    """Per-ray dense (N, K) sample buffers (the fast training layout)."""
+    t: jnp.ndarray          # (N, K) sample distances
+    dt: jnp.ndarray         # (N, K) integration steps
+    valid: jnp.ndarray      # (N, K) bool
+    ray_count: jnp.ndarray  # (N,) int32 samples per ray
+    rm_samples: jnp.ndarray  # () int32 total marched samples (pre-cap)
+
+
+def select_first_k(include, k: int):
+    """Per-row indices of the first `k` True entries of `include` (N, S).
+
+    top_k on the score ``include * (S - col)`` ranks included columns by
+    ascending column index; this is the scatter-free row compaction
+    primitive (TPU scatters serialize per element — measured ~25x slower
+    than top_k at (8192, 1024)->32).
+
+    Returns (idx (N, k) int32 ascending per row, valid (N, k) bool).
+    """
+    S = include.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, include.shape, len(include.shape) - 1)
+    score = jnp.where(include, S - col, 0)
+    v, idx = jax.lax.top_k(score, k)
+    return idx.astype(jnp.int32), v > 0
+
+
+def march_rays_train_dense(
+    rays_o,
+    rays_d,
+    hits_t,
+    bitfield,
+    noise,
+    *,
+    cascades: int,
+    scale: float,
+    exp_step_factor: float,
+    grid_size: int,
+    max_samples: int,
+    samples_per_ray: int,
+    march_steps: int = 0,
+) -> DenseMarchResult:
+    """March all rays into a dense (N, K) per-ray sample layout.
+
+    Functionally identical to `march_rays_train` with
+    `per_ray_cap = K = samples_per_ray` (the default training config:
+    models/rendering.py passes per_ray_cap = budget // N), but built
+    entirely from row-parallel vector ops — occupancy probe, cumsum,
+    top_k first-K selection, take_along_axis — with no global scatter
+    and no segment bookkeeping. On TPU this layout is ~10x faster than
+    the flat compaction (scatters serialize; top_k and row gathers
+    vectorize) and the downstream compositing becomes plain per-row
+    cumulative ops (ops/composite.py:composite_rays).
+
+    Reference semantics preserved: step sequence, occupancy skip, and
+    per-ray first-K cap match models/csrc/raymarching.cu:166-332 with a
+    fair per-ray budget (see march_rays_train docstring).
+    """
+    N = rays_o.shape[0]
+    S = march_steps or max_samples
+    K = samples_per_ray
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+
+    dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, scale)
+    t0 = t1 + dt0 * noise
+
+    tg = t_step_grid(
+        t0, S, exp_step_factor=exp_step_factor, max_samples=max_samples,
+        grid_size=grid_size, scale=scale,
+    )  # (N, S)
+    dtg = calc_dt(tg, exp_step_factor, max_samples, grid_size, scale)
+    xyz = rays_o[:, None, :] + tg[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(
+        xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
+    )
+    include = occ & (t1 >= 0)[:, None] & (tg < t2[:, None])
+    rm_samples = jnp.sum(include)
+
+    idx, valid = select_first_k(include, K)
+    t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)
+    dt_k = jnp.where(valid, jnp.take_along_axis(dtg, idx, axis=1), 0.0)
+    ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    return DenseMarchResult(
+        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
+    )
+
+
+def march_rays_test_round_dense(
+    rays_o,
+    rays_d,
+    cursor,
+    t_far,
+    alive,
+    bitfield,
+    *,
+    cascades: int,
+    scale: float,
+    exp_step_factor: float,
+    grid_size: int,
+    max_samples: int,
+    n_steps: int,
+):
+    """One inference marching round in the dense (N, n_steps) layout.
+
+    Unlike the flat `march_rays_test_round`, no compaction at all: the
+    caller composites the full masked step grid (budget == N * n_steps
+    made the flat compaction an identity reshuffle anyway — pure
+    scatter cost for nothing).
+
+    Returns (t (N,S), dt (N,S), valid (N,S), new_cursor (N,)).
+    """
+    tg_ext = t_step_grid(
+        cursor, n_steps + 1, exp_step_factor=exp_step_factor,
+        max_samples=max_samples, grid_size=grid_size, scale=scale,
+    )
+    tg = tg_ext[:, :n_steps]
+    dtg = calc_dt(tg, exp_step_factor, max_samples, grid_size, scale)
+    xyz = rays_o[:, None, :] + tg[..., None] * rays_d[:, None, :]
+    occ = occupancy_lookup(
+        xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
+    )
+    valid = occ & alive[:, None] & (cursor >= 0)[:, None] & (tg < t_far[:, None])
+    new_cursor = jnp.where(alive, tg_ext[:, -1], cursor)
+    return tg, dtg, valid, new_cursor
+
+
 def march_rays_test_round(
     rays_o,
     rays_d,
