@@ -93,6 +93,7 @@ class RenderConfig:
     T_threshold: float = 1e-4          # early-ray-termination transmittance
     march_block: int = 1024            # dense per-ray sample slots (<= max_samples)
     sample_budget: int = 0             # 0 = auto (n_rays * 32); cap on net evals
+    march_layout: str = "dense"        # 'dense' (N, K) fast path | 'flat' oracle
     max_march_iters: int = 4096        # safety bound on marching loop
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer

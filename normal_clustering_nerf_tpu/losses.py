@@ -26,7 +26,7 @@ import numpy as np
 
 from .config import LossConfig, ModelConfig
 from .datasets.normals import extract_normals_from_ray_batch
-from .ops.distortion import distortion_loss
+from .ops.distortion import distortion_loss, distortion_loss_dense
 from .ops.kmeans import normals_clustering
 
 
@@ -259,10 +259,15 @@ def compute_losses(
     # distortion (losses.py:365-369; ws-vs-ts quirk via config)
     if lcfg.distortion_w > 0:
         ws = pred["ts"] if lcfg.distortion_ts_bug_compat else pred["ws"]
-        dl = distortion_loss(
-            ws, pred["deltas"], pred["ts"], pred["ray_id"],
-            pred["ray_start"], pred["sample_valid"], n_rays,
-        )
+        if ws.ndim == 2:
+            # dense (N, K) per-ray layout from the fast march path
+            dl = distortion_loss_dense(
+                ws, pred["deltas"], pred["ts"], pred["sample_valid"])
+        else:
+            dl = distortion_loss(
+                ws, pred["deltas"], pred["ts"], pred["ray_id"],
+                pred["ray_start"], pred["sample_valid"], n_rays,
+            )
         loss_d["distortion"] = _finite_or_zero(lcfg.distortion_w * jnp.mean(dl))
 
     # depth L2 on valid GT (losses.py:372-385)

@@ -131,6 +131,55 @@ def render_train(
 
     budget = rcfg.sample_budget or N * 32
     noise = jax.random.uniform(k_noise, (N,))
+    if rcfg.march_layout == "dense":
+        # Fast path: per-ray dense (N, K) sample layout. Same sample set
+        # as the flat path with per_ray_cap = K (the training config),
+        # but built from row-parallel top_k/gather ops — no global
+        # scatter compaction, and compositing/distortion become plain
+        # per-row cumulative ops.
+        K = budget // N
+        mr = march_rays_train_dense(
+            rays_o, rays_d, hits_t, bitfield, noise,
+            cascades=cfg.cascades, scale=cfg.scale,
+            exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
+            max_samples=cfg.max_samples, samples_per_ray=K,
+            march_steps=rcfg.march_block,
+        )
+        # t is a constant of the geometry (the reference likewise saves
+        # ts and only backprops xyz->rays, custom_functions.py:102-112)
+        t_const = jax.lax.stop_gradient(mr.t)
+        xyz = (rays_o[:, None, :] + t_const[..., None] * rays_d[:, None, :])
+        K = mr.t.shape[1]
+        xyz = xyz.reshape(N * K, 3)
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(N * K, 3)
+        exp_c = (jnp.broadcast_to(exposure[:, None, :], (N, K, exposure.shape[-1]))
+                 .reshape(N * K, -1) if exposure is not None else None)
+        sigmas, raws = _field_raws(model, params, xyz, dirs, exp_c)
+        sigmas = sigmas.reshape(N, K)
+        raws = raws.reshape(N, K, -1)
+
+        comp = composite_rays(
+            sigmas, raws, mr.dt, mr.t, mr.valid, rcfg.T_threshold,
+        )
+        results = {
+            "opacity": comp["opacity"],
+            "depth": comp["depth"],
+            "ws": comp["ws"],            # (N, K)
+            "deltas": mr.dt,             # (N, K)
+            "ts": mr.t,                  # (N, K)
+            "ray_count": mr.ray_count,
+            "sample_valid": mr.valid,    # (N, K)
+            "rm_samples": mr.rm_samples,
+            "vr_samples": jnp.sum(comp["vr_samples"]),
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "depth_std": jnp.ones_like(comp["depth"]),
+        }
+        results.update(_split_rend(model, comp["rend"]))
+        bg = _bg_color(model, k_bg, rcfg.random_bg)
+        results["rgb"] = results["rgb"] + bg[None, :] * (1.0 - comp["opacity"][:, None])
+        return results
+
     mr = march_rays_train(
         rays_o, rays_d, hits_t, bitfield, noise,
         cascades=cfg.cascades, scale=cfg.scale,

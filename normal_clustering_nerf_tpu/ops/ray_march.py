@@ -35,6 +35,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .packbits import unpack_bit
@@ -313,7 +314,7 @@ def march_rays_train_dense(
     """
     N = rays_o.shape[0]
     S = march_steps or max_samples
-    K = samples_per_ray
+    K = min(samples_per_ray, S)  # top_k requires k <= S
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
 
     dt0 = calc_dt(t1, exp_step_factor, max_samples, grid_size, scale)
@@ -329,7 +330,10 @@ def march_rays_train_dense(
         xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
     )
     include = occ & (t1 >= 0)[:, None] & (tg < t2[:, None])
-    rm_samples = jnp.sum(include)
+    # first-K per-ray cap applied before counting, matching the flat
+    # path's per_ray_cap semantics (rm_samples counts capped samples)
+    cnt = jnp.cumsum(include.astype(jnp.int32), axis=-1)
+    rm_samples = jnp.sum(include & (cnt <= K))
 
     idx, valid = select_first_k(include, K)
     t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)

@@ -156,3 +156,67 @@ def test_march_compaction_bookkeeping(rng):
     np.testing.assert_array_equal(np.cumsum(counts) - counts, starts)
     # budget truncation drops the far tail only
     assert counts[0] > 0 and counts[-1] == 0
+
+
+def test_dense_march_matches_flat(rng):
+    """march_rays_train_dense must produce the exact sample set of
+    march_rays_train with per_ray_cap=K and a non-binding budget."""
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense,
+    )
+
+    G, scale, max_samples = 32, 0.5, 256
+    occ = rng.random((G, G, G)) > 0.6
+    occ[10:20, 10:20, 10:20] = True
+    flat = occ.transpose(2, 1, 0).reshape(-1)
+    bitfield = packbits(jnp.asarray(flat.astype(np.float32)), 0.5)
+
+    N, K = 32, 16
+    rays_o = rng.uniform(-1.5, 1.5, (N, 3)).astype(np.float32)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    noise = rng.random(N).astype(np.float32)
+    hits = ray_aabb_intersect(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.zeros(3), jnp.full(3, scale)
+    )
+    common = dict(cascades=1, scale=scale, exp_step_factor=0.0,
+                  grid_size=G, max_samples=max_samples)
+    flat_res = march_rays_train(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), sample_budget=N * K, per_ray_cap=K, **common)
+    dense = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), samples_per_ray=K, **common)
+
+    assert int(dense.rm_samples) == int(flat_res.rm_samples)
+    np.testing.assert_array_equal(
+        np.asarray(dense.ray_count), np.asarray(flat_res.ray_count))
+    f_ray = np.asarray(flat_res.ray_id)
+    f_valid = np.asarray(flat_res.valid)
+    f_t, f_dt = np.asarray(flat_res.t), np.asarray(flat_res.dt)
+    d_t, d_dt = np.asarray(dense.t), np.asarray(dense.dt)
+    d_valid = np.asarray(dense.valid)
+    for r in range(N):
+        mine = d_t[r][d_valid[r]]
+        ref = f_t[(f_ray == r) & f_valid]
+        np.testing.assert_allclose(mine, ref, rtol=1e-6)
+        np.testing.assert_allclose(
+            d_dt[r][d_valid[r]], f_dt[(f_ray == r) & f_valid], rtol=1e-6)
+    # dense valid entries are front-packed per row
+    first_invalid = d_valid.shape[1] - np.argmax(d_valid[:, ::-1], axis=1)
+    assert np.all(d_valid.sum(1) == np.where(d_valid.any(1), first_invalid, 0))
+
+
+def test_select_first_k_basic():
+    from normal_clustering_nerf_tpu.ops.ray_march import select_first_k
+
+    inc = jnp.asarray([
+        [False, True, False, True, True],
+        [False, False, False, False, False],
+        [True, True, True, True, True],
+    ])
+    idx, valid = select_first_k(inc, 3)
+    np.testing.assert_array_equal(np.asarray(valid), [
+        [True, True, True], [False, False, False], [True, True, True]])
+    np.testing.assert_array_equal(np.asarray(idx)[0], [1, 3, 4])
+    np.testing.assert_array_equal(np.asarray(idx)[2], [0, 1, 2])
