@@ -182,7 +182,8 @@ class OptimConfig:
 class ParallelConfig:
     """Device-mesh / multi-host config — replaces the reference's DDP
     (train_nerf.py:950-952) with shard_map over a named mesh."""
-    mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on the 'rays' axis
+    mesh_shape: Tuple[int, ...] = (1,)    # 1 = single device (no sharding);
+                                          # -1 = all devices on the 'rays' axis
     mesh_axis_names: Tuple[str, ...] = ("rays",)
     multihost: bool = False
     coordinator_address: Optional[str] = None
@@ -297,7 +298,8 @@ class TrainConfig:
                        choices=["avoid_near", "depth", "none"])
         p.add_argument("--anneal_steps", type=int, default=0)
         p.add_argument("--num_chips", type=int, default=0,
-                       help="0 = use all visible devices")
+                       help="0/1 = single device; -1 = all visible devices; "
+                            "N = shard rays over N chips")
         p.add_argument("--grad_clip", type=float, default=0.05)
         p.add_argument("--random_bg", action="store_true", default=False)
         # validation
@@ -367,7 +369,8 @@ class TrainConfig:
                 dR_norm_glob_coding=a.dR_norm_glob_coding,
             ),
             parallel=ParallelConfig(
-                mesh_shape=(a.num_chips if a.num_chips > 0 else -1,),
+                # 0/1 = single device; -1 = all visible; N = N chips
+                mesh_shape=(a.num_chips if a.num_chips != 0 else 1,),
             ),
             eval=EvalConfig(
                 eval_lpips=a.eval_lpips, val_only=a.val_only,

@@ -87,13 +87,33 @@ class Trainer:
         self.state, self.tx = create_train_state(
             cfg, self.model, self.occ_grid, key, scene_train.n_images)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._occ_update = {
-            True: jax.jit(partial(self._occ_update_impl, warmup=True),
-                          donate_argnums=(0,)),
-            False: jax.jit(partial(self._occ_update_impl, warmup=False),
-                           donate_argnums=(0,)),
-        }
+        # Multi-chip: shard rays over a named mesh when the config asks
+        # for more than one device (the TPU replacement for Lightning
+        # DDP, reference: train_nerf.py:950-952). Single-device configs
+        # keep the plain jitted step.
+        self.mesh = None
+        n_req = cfg.parallel.mesh_shape[0]
+        n_chips = len(jax.devices()) if n_req == -1 else n_req
+        if n_chips > 1:
+            from ..parallel.mesh import make_mesh
+            from .distributed import (
+                make_sharded_occ_update, make_sharded_train_step,
+            )
+            self.mesh = make_mesh((n_chips,), cfg.parallel.mesh_axis_names)
+            self._train_step = make_sharded_train_step(self, self.mesh)
+            self._occ_update = {
+                True: make_sharded_occ_update(self, self.mesh, warmup=True),
+                False: make_sharded_occ_update(self, self.mesh, warmup=False),
+            }
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0,))
+            self._occ_update = {
+                True: jax.jit(partial(self._occ_update_impl, warmup=True),
+                              donate_argnums=(0,)),
+                False: jax.jit(partial(self._occ_update_impl, warmup=False),
+                               donate_argnums=(0,)),
+            }
         self.R_offset = self._build_R_offset()
 
     # ------------------------------------------------------------ R offset

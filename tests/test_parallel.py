@@ -82,3 +82,27 @@ def test_single_vs_multichip_loss_comparable(scene):
     # different RNG streams -> not equal, but same scale
     assert abs(float(m1["loss_total"]) - float(m8["loss_total"])) < 0.5 * (
         abs(float(m1["loss_total"])) + 1e-3) + 0.2
+
+
+def test_trainer_wires_mesh_from_config(scene):
+    """--num_chips wiring: Trainer with parallel.mesh_shape=(8,) must
+    build its own mesh and route fit() through the sharded step + pmax
+    occ update (VERDICT r1 item 3)."""
+    from normal_clustering_nerf_tpu.config import ParallelConfig
+
+    n = 8
+    cfg = _cfg(batch=48 * n)
+    cfg = cfg.replace(parallel=ParallelConfig(mesh_shape=(n,)),
+                      optim=cfg.optim.__class__(
+                          **{**cfg.optim.__dict__, "num_epochs": 1,
+                             "steps_per_epoch": 3}))
+    tr = Trainer(cfg, scene)
+    assert tr.mesh is not None and tr.mesh.devices.size == n
+    out = tr.fit(log_every=0)
+    assert np.isfinite(out["loss_total"])
+    assert int(tr.state.step) == 3
+
+
+def test_trainer_single_device_default(scene):
+    tr = Trainer(_cfg(batch=64), scene)
+    assert tr.mesh is None
