@@ -84,7 +84,7 @@ class SyntheticDataset:
     """Reference-shaped dataset interface over the procedural room."""
 
     def __init__(self, split="train", img_wh=(64, 64), n_images=12,
-                 room_half=0.4, scale=0.5, seed=0, **kwargs):
+                 room_half=0.4, scale=0.5, seed=0, R_offset=None, **kwargs):
         rng = np.random.default_rng(seed + (1 if split != "train" else 0))
         W, H = img_wh
         fx = fy = 0.8 * W
@@ -110,6 +110,23 @@ class SyntheticDataset:
             depths.append(depth)
             normals.append(nrm)
             sems.append(sem)
+        depths = [np.asarray(d) for d in depths]
+        normals = [np.asarray(n) for n in normals]
+
+        # Scene rotation offset — same semantics as the Hypersim loader
+        # (reference: datasets/hypersim.py:82-95): the captured images
+        # stay fixed; poses and normal labels rotate, and translations
+        # shrink by the reference's 1.6 fudge so the rotated room's
+        # corners stay inside the [-scale, scale]^3 cube. Depth labels
+        # scale with the translations.
+        if R_offset is not None:
+            R = np.asarray(R_offset, np.float32)
+            adjust = 1.6
+            poses = poses.copy()
+            poses[:, :, :3] = np.einsum("ij,njk->nik", R, poses[:, :, :3])
+            poses[:, :, 3] = poses[:, :, 3] @ R.T / adjust
+            depths = [d / adjust for d in depths]
+            normals = [n @ R.T for n in normals]
 
         self.scene = SceneData(
             poses=poses,

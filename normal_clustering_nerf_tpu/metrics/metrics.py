@@ -16,7 +16,7 @@ import numpy as np
 
 from .depth import depth_abs_err, depth_rmse
 from .normals import normal_angular_error
-from .rgb import psnr, ssim
+from .rgb import psnr, ssim, ssim_gaussian, ssim_norm, ssim_norm_scikit
 from .semantic import confusion_matrix, miou_from_confusion
 
 
@@ -44,7 +44,15 @@ class NeRFMTMetricsPerIm:
                 LearnedPerceptualImagePatchSimilarity,
             )
             return LearnedPerceptualImagePatchSimilarity(net_type="vgg")
-        except Exception:
+        except Exception as e:
+            import warnings
+            warnings.warn(
+                "eval_lpips=True but the VGG-LPIPS metric is unavailable "
+                f"({type(e).__name__}: {e}); the 'lpips' column will be "
+                "missing from results. Provide torchmetrics + local VGG "
+                "weights to enable it.",
+                RuntimeWarning, stacklevel=2,
+            )
             return None
 
     def reset(self):
@@ -58,7 +66,11 @@ class NeRFMTMetricsPerIm:
     def update(self, pred: Dict, gt: Dict):
         """Accumulate one test image. pred/gt values are (H, W, C)/(H, W)."""
         self.vals["psnr"].append(float(psnr(pred["rgb"], gt["rgb"])))
-        self.vals["ssim"].append(ssim(pred["rgb"], gt["rgb"]))
+        # the reference's three SSIM variants (metrics/rgb_metrics.py:40-131)
+        self.vals["ssim"].append(ssim_gaussian(pred["rgb"], gt["rgb"]))
+        self.vals["ssim_norm"].append(ssim_norm(pred["rgb"], gt["rgb"]))
+        self.vals["ssim_norm_scikit"].append(
+            ssim_norm_scikit(pred["rgb"], gt["rgb"]))
         if self._lpips is not None:
             import torch
             p = torch.from_numpy(

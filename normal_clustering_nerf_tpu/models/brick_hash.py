@@ -148,11 +148,31 @@ def _brick_geometry(x, scale, res, nb, dense, n_bricks):
 
 
 def _w64(w4):
-    """(M, 3, 4) axis weights -> (M, 64) trilinear slot weights."""
-    return (
-        w4[:, 0, :, None, None] * w4[:, 1, None, :, None]
-        * w4[:, 2, None, None, :]
-    ).reshape(w4.shape[0], 64)
+    """(M, 3, 4) axis weights -> (M, 64) trilinear slot weights.
+
+    Built in lane-major layouts: small trailing dims like (M, 4, 4, 4)
+    pad TPU lanes 32x, so we compose via (M, 16) and lane tiles instead.
+    """
+    M = w4.shape[0]
+    wyz = (w4[:, 1, :, None] * w4[:, 2, None, :]).reshape(M, 16)
+    return jnp.repeat(w4[:, 0, :], 16, axis=1) * jnp.tile(wyz, (1, 4))
+
+
+def _w128(w64, F: int):
+    """(M, 64) slot weights -> (M, 64*F) aligned with the table row
+    layout (slot-major, features interleaved: lane s*F+f = slot s)."""
+    return jnp.repeat(w64, F, axis=1)
+
+
+def _feature_fold(F: int, dtype=jnp.float32):
+    """(64*F, F) constant matmul that folds a weighted (M, 64*F) row into
+    (M, F) features — keeps the reduction in the 128-lane layout instead
+    of materializing (M, 64, F) (trailing dim F pads lanes 64x)."""
+    P = np.zeros((64 * F, F), np.float32)
+    for s in range(64):
+        for f in range(F):
+            P[s * F + f, f] = 1.0
+    return jnp.asarray(P, dtype)
 
 
 def _brick_encode_impl(table, x, spec: BrickGridSpec):
@@ -161,12 +181,14 @@ def _brick_encode_impl(table, x, spec: BrickGridSpec):
     M = x.shape[0]
     F = spec.n_features
     consts = _level_constants(spec)
+    P = _feature_fold(F)
 
     def body(_, lc):
         tab_l, scale, res, nb, dense = lc
         row, w4, _ = _brick_geometry(x, scale, res, nb, dense, spec.n_bricks)
-        rows = tab_l[row].reshape(M, 64, F)
-        feat = jnp.einsum("ms,msf->mf", _w64(w4), rows)
+        rows = tab_l[row]                                # (M, 64*F)
+        prod = rows * _w128(_w64(w4), F)
+        feat = jnp.dot(prod, P, preferred_element_type=jnp.float32)
         return 0, feat
 
     _, feats = jax.lax.scan(body, 0, (table,) + consts)   # (L, M, F)
@@ -196,8 +218,8 @@ def _brick_vjp_bwd(spec, need_dx, res, g):
         g_l, tab_l, scale, res_l, nb, dense = lc
         row, w4, dw4 = _brick_geometry(x, scale, res_l, nb, dense,
                                        spec.n_bricks)
-        w = _w64(w4)                                           # (M, 64)
-        upd = (w[:, :, None] * g_l[:, None, :]).reshape(M, 64 * F)
+        # lane-layout update: w128 * tiled-g, no (M, 64, F) intermediate
+        upd = _w128(_w64(w4), F) * jnp.tile(g_l, (1, 64))
         d_tab = jnp.zeros((spec.n_bricks, 64 * F), table.dtype)
         d_tab = d_tab.at[row].add(upd.astype(table.dtype))
         if need_dx:

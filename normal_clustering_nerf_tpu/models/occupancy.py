@@ -44,7 +44,9 @@ def coarse_occupancy(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
     """
     G = grid_size
     Gc = G // 8
-    bits = (bitfield[: G ** 3 // 8, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    # static-mask AND instead of a dynamic vector shift (see packbits)
+    masks = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    bits = ((bitfield[: G ** 3 // 8, None] & masks) > 0).astype(jnp.uint8)
     occ = bits.reshape(G, G, G)                       # [z, y, x] layout
     coarse = occ.reshape(Gc, 8, Gc, 8, Gc, 8).max(axis=(1, 3, 5))
     for axis in range(3):

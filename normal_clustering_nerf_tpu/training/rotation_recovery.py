@@ -20,20 +20,34 @@ from ..utils.rotations import matrix_to_euler_angles, project_to_SO3
 
 
 def recover_rotation(normals: np.ndarray, key, K=30, niter=30,
-                     t_similar=0.99) -> np.ndarray:
+                     t_similar=0.99, restarts=3) -> np.ndarray:
     """Cluster normals, return the (3, 3) matrix of the three dominant
-    orthogonal cluster centroids (columns), SO(3)-projected."""
+    orthogonal cluster centroids (columns), SO(3)-projected.
+
+    K-means init is random (the reference inherits FAISS's random init,
+    losses.py:86-93) and the dominant-triplet pick occasionally lands on
+    a skewed triple; we run a few restarts and keep the frame that best
+    explains the data: highest mean |n . nearest frame axis| over all
+    valid normals (a GT-free fit score)."""
     normals = np.asarray(normals, np.float32).reshape(-1, 3)
     norms = np.linalg.norm(normals, axis=-1)
     valid = (norms > 1e-6) & np.isfinite(norms)
     n = normals.copy()
     n[valid] /= norms[valid][:, None]
-    res = normals_clustering(
-        jnp.asarray(n), jnp.asarray(valid), key, K=K, niter=niter,
-        t_similar=t_similar,
-    )
-    C = np.asarray(res.centroids3).T       # columns = centroids
-    return project_to_SO3(C)
+    n_j, valid_j = jnp.asarray(n), jnp.asarray(valid)
+    nv = n[valid]
+    best_R, best_score = None, -np.inf
+    for r in range(restarts):
+        res = normals_clustering(
+            n_j, valid_j, jax.random.fold_in(key, r), K=K, niter=niter,
+            t_similar=t_similar,
+        )
+        C = np.asarray(res.centroids3).T       # columns = centroids
+        R = project_to_SO3(C)
+        score = float(np.mean(np.max(np.abs(nv @ R), axis=-1)))
+        if score > best_score:
+            best_score, best_R = score, R
+    return best_R
 
 
 def rotation_recovery_errors(normals: np.ndarray, R_offset: np.ndarray,

@@ -387,7 +387,11 @@ class Trainer:
                 out.update(rotation_recovery_errors(
                     all_nd, self.R_offset,
                     jax.random.PRNGKey(cfg.seed ^ 0xA11)))
-            except Exception as e:  # degenerate clustering early in training
+            except (ValueError, np.linalg.LinAlgError) as e:
+                # degenerate clustering early in training (SVD of a
+                # rank-deficient centroid triplet); anything else raises
+                import warnings
+                warnings.warn(f"rotation recovery failed: {e}", RuntimeWarning)
                 out["ang/clust/failed"] = 1.0
 
         if save_preds_dir:

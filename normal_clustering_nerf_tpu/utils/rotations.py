@@ -32,6 +32,16 @@ def euler_angles_to_matrix(angles, convention: str = "ZYX"):
     return R
 
 
+def R_offset_from_angles(yaw_deg, pitch_deg, roll_deg):
+    """Scene rotation offset from yaw/pitch/roll degrees, or None when
+    all zero (reference: train_nerf.py:109-122 builds R_offset from the
+    loss_norm_*_offset_ang flags and hands it to the dataset)."""
+    ang = np.array([yaw_deg, pitch_deg, roll_deg], np.float64) * np.pi / 180.0
+    if np.all(ang == 0):
+        return None
+    return euler_angles_to_matrix(ang, "ZYX").astype(np.float32)
+
+
 def matrix_to_euler_angles(R, convention: str = "ZYX"):
     """Inverse of euler_angles_to_matrix for proper conventions with
     distinct axes (the only use upstream is ZYX, train_nerf.py:521)."""

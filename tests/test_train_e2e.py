@@ -93,3 +93,38 @@ def test_checkpoint_roundtrip(tmp_path, scene):
     rest = jax.tree_util.tree_leaves(restored)
     for a, b in zip(orig, rest):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_state_resume(tmp_path, scene):
+    """Full orbax round-trip (params + opt_state + occ + step + key) and
+    resume-continues-training (reference: train_nerf.py:960 ckpt_path)."""
+    from normal_clustering_nerf_tpu.training.checkpoints import (
+        restore_checkpoint, save_checkpoint,
+    )
+    cfg = _tiny_cfg()
+    tr = Trainer(cfg, scene)
+    tr.mark_invisible_cells()
+    for step in range(20):
+        if step % cfg.optim.update_interval == 0:
+            k = jax.random.fold_in(jax.random.PRNGKey(0), step)
+            occ = tr._occ_update[step < cfg.optim.warmup_steps](
+                tr.state.occ, tr.state.params, k)
+            tr.state = tr.state._replace(occ=occ)
+        tr.state, m = tr._train_step(tr.state, tr.scene_dev)
+    ck = str(tmp_path / "full_ckpt")
+    save_checkpoint(ck, tr.state)
+
+    # fresh trainer restores the complete state
+    tr2 = Trainer(cfg, scene)
+    tr2.state = restore_checkpoint(ck, tr2.state)
+    assert int(tr2.state.step) == 20
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state),
+                    jax.tree_util.tree_leaves(tr2.state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # resumed training continues identically to uninterrupted training
+    s_cont, m_cont = tr._train_step(tr.state, tr.scene_dev)
+    s_res, m_res = tr2._train_step(tr2.state, tr2.scene_dev)
+    np.testing.assert_allclose(
+        float(m_cont["loss_total"]), float(m_res["loss_total"]), rtol=1e-6)
+    assert int(s_res.step) == 21

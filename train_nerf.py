@@ -28,29 +28,29 @@ def main(argv=None):
     initialize_multihost()
 
     from normal_clustering_nerf_tpu.datasets import get_dataset
+    from normal_clustering_nerf_tpu.utils.rotations import R_offset_from_angles
+    # scene rotation offset for the paper's rotation ablation
+    # (reference: train_nerf.py:109-122 -> datasets/hypersim.py:82-95)
+    R_offset = R_offset_from_angles(
+        cfg.loss.norm_yaw_offset_ang, cfg.loss.norm_pitch_offset_ang,
+        cfg.loss.norm_roll_offset_ang)
     ds_cls = get_dataset(cfg.data.dataset_name)
     if cfg.data.dataset_name == "synthetic":
-        train_ds = ds_cls(split=cfg.data.split)
-        test_ds = ds_cls(split="test")
+        train_ds = ds_cls(split=cfg.data.split, R_offset=R_offset)
+        test_ds = ds_cls(split="test", R_offset=R_offset)
     else:
-        train_ds = ds_cls(
-            root_dir=cfg.data.root_dir, split=cfg.data.split,
+        ds_kwargs = dict(
+            root_dir=cfg.data.root_dir,
             split_factor=cfg.data.split_factor, downsample=cfg.data.downsample,
             load_depth_gt=cfg.data.load_depth_gt,
             load_norm_gt=cfg.data.load_norm_gt,
             load_norm_depth_gt=cfg.data.load_norm_depth_gt,
             load_sem_gt=cfg.data.load_sem_gt,
             load_sem_WF_gt=cfg.data.load_sem_WF_gt,
+            R_offset=R_offset,
         )
-        test_ds = ds_cls(
-            root_dir=cfg.data.root_dir, split="test",
-            split_factor=cfg.data.split_factor, downsample=cfg.data.downsample,
-            load_depth_gt=cfg.data.load_depth_gt,
-            load_norm_gt=cfg.data.load_norm_gt,
-            load_norm_depth_gt=cfg.data.load_norm_depth_gt,
-            load_sem_gt=cfg.data.load_sem_gt,
-            load_sem_WF_gt=cfg.data.load_sem_WF_gt,
-        )
+        train_ds = ds_cls(split=cfg.data.split, **ds_kwargs)
+        test_ds = ds_cls(split="test", **ds_kwargs)
 
     from normal_clustering_nerf_tpu.training import Trainer
     trainer = Trainer(cfg, train_ds.load(), test_ds.load())
