@@ -1,15 +1,25 @@
 #!/usr/bin/env python
-"""Training-throughput benchmark on real hardware.
+"""Training-throughput + quality benchmark on real hardware.
 
 Trains the full multi-task NGP-MT pipeline (hash grid, occupancy
 marching, N-channel compositing, normal-clustering losses) on the
 synthetic Manhattan room at the reference's production shape
-(batch 8192 rays, grid 128, L=16 hash levels — opt.py:46,138) and
-reports steady-state ray throughput.
+(batch 8192 rays, grid 128, L=16 hash levels — opt.py:46,138),
+reports steady-state ray throughput, then renders the held-out views
+and reports PSNR + depth-normal angular error as the quality gate
+(a perf change that silently breaks learning fails here).
 
 Baseline: the reference runs ~30 it/s x 8192 rays ~= 0.25 M rays/s on
 an RTX 2080 Ti (BASELINE.md). Prints one JSON line.
+
+Modes:
+  python bench.py                   # train throughput + quality JSON
+  python bench.py --profile DIR     # also capture a jax.profiler trace
+  python bench.py --num_chips N     # shard rays over an N-device mesh
+                                    # and report scaling efficiency
+  python bench.py --skip-quality    # throughput only (fast iteration)
 """
+import argparse
 import json
 import sys
 import time
@@ -21,22 +31,19 @@ def _log(msg):
     print(f"[bench {time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-
+def build_trainer(batch, num_chips=1, compute_dtype="float32"):
     from normal_clustering_nerf_tpu.config import (
-        DataConfig, LossConfig, ModelConfig, OptimConfig, RenderConfig,
-        TrainConfig,
+        DataConfig, LossConfig, ModelConfig, OptimConfig, ParallelConfig,
+        RenderConfig, TrainConfig,
     )
     from normal_clustering_nerf_tpu.datasets.synthetic import SyntheticDataset
     from normal_clustering_nerf_tpu.training import Trainer
 
-    batch = 8192
     cfg = TrainConfig(
         model=ModelConfig(
             scale=0.5, grid_size=128, max_samples=1024,
             pred_norm_nn=True, pred_norm_depth=True, pred_sem=True,
-            n_sem_cls=3,
+            n_sem_cls=3, compute_dtype=compute_dtype,
         ),
         render=RenderConfig(march_block=1024, sample_budget=batch * 32),
         loss=LossConfig(
@@ -48,10 +55,42 @@ def main():
         data=DataConfig(batch_size=batch,
                         ray_sampling_strategy="all_images_triang"),
         optim=OptimConfig(num_epochs=1, steps_per_epoch=1000),
+        parallel=ParallelConfig(mesh_shape=(num_chips,)),
     )
     _log("building scene + trainer")
-    scene = SyntheticDataset(split="train", img_wh=(128, 128), n_images=16).load()
-    trainer = Trainer(cfg, scene)
+    scene_tr = SyntheticDataset(split="train", img_wh=(128, 128),
+                                n_images=16).load()
+    scene_te = SyntheticDataset(split="test", img_wh=(128, 128),
+                                n_images=4).load()
+    return Trainer(cfg, scene_tr, scene_te), cfg
+
+
+def run_steps(trainer, cfg, n, base_step=0):
+    import jax
+    for step in range(base_step, base_step + n):
+        if step % cfg.optim.update_interval == 0:
+            k = jax.random.fold_in(jax.random.PRNGKey(7), step)
+            occ = trainer._occ_update[step < cfg.optim.warmup_steps](
+                trainer.state.occ, trainer.state.params, k)
+            trainer.state = trainer.state._replace(occ=occ)
+        trainer.state, metrics = trainer._train_step(
+            trainer.state, trainer.scene_dev)
+    return metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", type=str, default="")
+    ap.add_argument("--num_chips", type=int, default=1)
+    ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--compute_dtype", type=str, default="float32")
+    ap.add_argument("--batch", type=int, default=8192)
+    args = ap.parse_args()
+
+    import jax
+
+    batch = args.batch
+    trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype)
     _log("marking invisible cells")
     trainer.mark_invisible_cells()
     jax.block_until_ready(trainer.state.occ.density_grid)
@@ -59,42 +98,80 @@ def main():
     # warmup: let the occupancy grid converge so the march reflects
     # steady-state sparsity (as in real training)
     _log("warmup: compiling occupancy update + train step")
-    warm_steps = 128
-    for step in range(warm_steps):
-        if step % cfg.optim.update_interval == 0:
-            k = jax.random.fold_in(jax.random.PRNGKey(7), step)
-            occ = trainer._occ_update[step < cfg.optim.warmup_steps](
-                trainer.state.occ, trainer.state.params, k)
-            trainer.state = trainer.state._replace(occ=occ)
-            if step == 0:
-                jax.block_until_ready(occ.density_grid)
-                _log("occ warmup update compiled")
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, trainer.scene_dev)
-        if step == 0:
-            jax.block_until_ready(trainer.state.params)
-            _log("train step compiled")
-        if step == 16:
-            _log("regular occ update compiled")
+    warm = 300  # past the 256-step occupancy warmup boundary
+    t_c0 = time.perf_counter()
+    run_steps(trainer, cfg, 1)
     jax.block_until_ready(trainer.state.params)
-    _log(f"warmup done ({warm_steps} steps)")
+    compile_s = time.perf_counter() - t_c0
+    _log(f"first step (compile) {compile_s:.1f}s")
+    run_steps(trainer, cfg, warm - 1, base_step=1)
+    jax.block_until_ready(trainer.state.params)
+    _log(f"warmup done ({warm} steps)")
 
     n_steps = 200
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, trainer.scene_dev)
+    run_steps(trainer, cfg, n_steps, base_step=warm)
     jax.block_until_ready(trainer.state.params)
     dt = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        _log(f"profile trace written to {args.profile}")
 
     rays_per_s = batch * n_steps / dt
     baseline = 0.25e6  # RTX 2080 Ti reference throughput (BASELINE.md)
-    print(json.dumps({
+    out = {
         "metric": "train_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / baseline, 3),
-    }))
+        "it_per_s": round(n_steps / dt, 2),
+        "compile_s": round(compile_s, 1),
+    }
+    _log(f"train throughput {rays_per_s:,.0f} rays/s ({n_steps / dt:.1f} it/s)")
+
+    if args.num_chips > 1:
+        # scaling efficiency vs a single-chip run of the same per-chip
+        # batch (BASELINE target: >=85% from 1 chip to 2 hosts)
+        _log("single-chip reference run for scaling efficiency")
+        tr1, cfg1 = build_trainer(batch, 1, args.compute_dtype)
+        tr1.mark_invisible_cells()
+        run_steps(tr1, cfg1, warm)
+        jax.block_until_ready(tr1.state.params)
+        t0 = time.perf_counter()
+        run_steps(tr1, cfg1, n_steps, base_step=warm)
+        jax.block_until_ready(tr1.state.params)
+        r1 = batch * n_steps / (time.perf_counter() - t0)
+        out["scaling_efficiency"] = round(rays_per_s / (r1 * args.num_chips), 3)
+        out["rays_per_s_per_chip"] = round(rays_per_s / args.num_chips, 1)
+
+    if not args.skip_quality:
+        # finish a real training run, then gate on held-out quality
+        total = 2000
+        _log(f"training to step {total} for the quality gate")
+        run_steps(trainer, cfg, total - warm - n_steps,
+                  base_step=warm + n_steps)
+        jax.block_until_ready(trainer.state.params)
+        _log("rendering held-out views")
+        scene = trainer.scene_test
+        W, H = scene.img_wh
+        t0 = time.perf_counter()
+        val = trainer.validate()
+        render_s = time.perf_counter() - t0
+        n_px = scene.n_images * W * H
+        out["psnr"] = round(val.get("psnr", float("nan")), 2)
+        for k in ("norm_depth_ang_mean", "norm_nn_ang_mean"):
+            if k in val:
+                out[k] = round(val[k], 2)
+        out["render_rays_per_s"] = round(n_px / render_s, 1)
+        _log(f"quality: psnr={out['psnr']} render={out['render_rays_per_s']:,.0f} rays/s")
+        # gate: a perf change that breaks learning must fail loudly
+        # (floor pinned from measured runs; see BENCH history)
+        floor = 22.0
+        assert out["psnr"] >= floor, f"PSNR gate failed: {out['psnr']} < {floor}"
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

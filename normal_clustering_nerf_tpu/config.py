@@ -97,6 +97,13 @@ class RenderConfig:
     max_march_iters: int = 4096        # safety bound on marching loop
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer
+    # Inference layout: 'bucket' compacts alive rays into power-of-two
+    # buckets each round (the TPU analogue of the reference's dynamic
+    # alive-ray compaction, models/rendering.py:78-84) so converged rays
+    # cost no network evals; 'flat' is the full-batch masked-round
+    # oracle (every round evaluates all rays).
+    test_layout: str = "bucket"
+    test_march_window: int = 128       # occupancy probe steps per round
     random_bg: bool = False
     anneal_strategy: str = "none"      # 'avoid_near' | 'depth' | 'none'
     anneal_steps: int = 0

@@ -225,6 +225,88 @@ def render_train(
     return results
 
 
+@lru_cache(maxsize=64)
+def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure):
+    """Jitted one-round alive-compacted march+eval+composite.
+
+    The TPU replacement for the reference's dynamic alive-ray compaction
+    (reference: models/rendering.py:78-84 + raymarching.cu:335-404):
+    instead of a dynamically-shaped alive_indices tensor, each round
+    gathers the first `B` alive rays (B a power-of-two bucket chosen by
+    the host from the true alive count), marches an `S_march`-step probe
+    window from each cursor, selects the first `K` occupied samples per
+    ray, and evaluates the field on exactly B*K sample slots — so
+    converged rays cost no network evals and per-round work shrinks
+    with the alive set. Compiled once per (B, K) bucket and cached.
+    """
+    from .ngp_mt import NGPMT
+
+    model = NGPMT(mcfg)
+    mkw = dict(exp_step_factor=mcfg.exp_step_factor,
+               max_samples=mcfg.max_samples, grid_size=mcfg.grid_size,
+               scale=mcfg.scale)
+
+    def round_fn(params, bitfield, rays_o, rays_d, t2,
+                 cursor, alive, opacity, depth, rend, exposure=None):
+        from ..ops.ray_march import (
+            calc_dt, occupancy_lookup, select_first_k, t_step_grid,
+        )
+        # ---- alive-ray compaction: first B alive ray ids (row top_k) ----
+        idx, sel = select_first_k(alive[None, :], B)
+        idx, sel = idx[0], sel[0]                           # (B,)
+        ro, rd = rays_o[idx], rays_d[idx]
+        cur, far = cursor[idx], t2[idx]
+        # ---- march probe window from each cursor ----
+        tg_ext = t_step_grid(cur, S_march + 1, **mkw)
+        tg = tg_ext[:, :S_march]
+        dtg = calc_dt(tg, mcfg.exp_step_factor, mcfg.max_samples,
+                      mcfg.grid_size, mcfg.scale)
+        xyz = ro[:, None, :] + tg[..., None] * rd[:, None, :]
+        occ = occupancy_lookup(xyz, dtg, bitfield, cascades=mcfg.cascades,
+                               scale=mcfg.scale, grid_size=mcfg.grid_size)
+        include = occ & sel[:, None] & (cur >= 0)[:, None] & (tg < far[:, None])
+        sidx, svalid = select_first_k(include, K)
+        t_k = jnp.where(svalid, jnp.take_along_axis(tg, sidx, axis=1), 0.0)
+        dt_k = jnp.where(svalid, jnp.take_along_axis(dtg, sidx, axis=1), 0.0)
+        n_found = jnp.sum(svalid, axis=-1)
+        # cursor: just past the K-th occupied sample when K were found
+        # (unprobed space stays ahead of the cursor), else past the
+        # whole probed window (raymarching.cu:390 cursor semantics)
+        last_col = jnp.where(n_found >= K, sidx[:, K - 1] + 1, S_march)
+        new_cur_b = jnp.take_along_axis(tg_ext, last_col[:, None], axis=1)[:, 0]
+        # ---- field eval on exactly B*K slots ----
+        xyz_k = (ro[:, None, :] + t_k[..., None] * rd[:, None, :]).reshape(B * K, 3)
+        dirs_k = jnp.broadcast_to(rd[:, None, :], (B, K, 3)).reshape(B * K, 3)
+        if with_exposure:
+            exp_b = exposure[idx]
+            exp_k = jnp.broadcast_to(
+                exp_b[:, None, :], (B, K, exp_b.shape[-1])
+            ).reshape(B * K, -1)
+        else:
+            exp_k = None
+        sigmas, raws = _field_raws(model, params, xyz_k, dirs_k, exp_k)
+        comp = composite_rays(
+            sigmas.reshape(B, K), raws.reshape(B, K, -1), dt_k, t_k, svalid,
+            T_threshold, T_start=1.0 - opacity[idx],
+        )
+        # ---- scatter results back to the full-chunk buffers ----
+        # (idx rows are distinct even for sel=False padding — top_k
+        # returns distinct positions — so .at[].add is collision-free)
+        opa_b = jnp.where(sel, comp["opacity"], 0.0)
+        opacity = opacity.at[idx].add(opa_b)
+        depth = depth.at[idx].add(jnp.where(sel, comp["depth"], 0.0))
+        rend = rend.at[idx].add(jnp.where(sel[:, None], comp["rend"], 0.0))
+        cursor = cursor.at[idx].set(jnp.where(sel, new_cur_b, cursor[idx]))
+        converged = (1.0 - (opacity[idx])) <= T_threshold
+        alive_b = sel & ~converged & (new_cur_b < far)
+        alive = alive.at[idx].set(jnp.where(sel, alive_b, alive[idx]))
+        n_eff = jnp.sum(jnp.where(sel[:, None], svalid, False))
+        n_alive = jnp.sum(alive)
+        return cursor, alive, opacity, depth, rend, n_eff, n_alive
+
+    return jax.jit(round_fn)
+
+
 @lru_cache(maxsize=32)
 def _make_test_round_fn(mcfg, T_threshold, n_steps, budget, with_exposure):
     """Jitted one-round march+eval+composite, cached per static config
@@ -293,6 +375,36 @@ def render_test(
     cursor = t1
     alive = t1 >= 0
     total_samples = jnp.zeros((), jnp.int32)
+
+    if rcfg.test_layout == "bucket":
+        # Alive-compacted rounds: bucket size follows the live count so
+        # converged rays cost nothing; per-ray samples per round follow
+        # the reference's adaptive schedule
+        # N_samples = max(min(N_rays//N_alive, 64), min_samples)
+        # (reference: models/rendering.py:77-84).
+        min_samples = 1 if cfg.exp_step_factor == 0 else 4
+        S_march = rcfg.test_march_window
+        n_alive = int(jnp.sum(alive))
+        samples = 0
+        while samples < cfg.max_samples and n_alive > 0:
+            B = min(N, max(256, 1 << (n_alive - 1).bit_length()))
+            K = max(min(N // B, 64), min_samples)
+            round_fn = _make_test_round_bucket_fn(
+                cfg, rcfg.T_threshold, B, K, S_march, exposure is not None)
+            cursor, alive, opacity, depth, rend, n_eff, n_alive_dev = round_fn(
+                params, bitfield, rays_o, rays_d, t2,
+                cursor, alive, opacity, depth, rend,
+                *((exposure,) if exposure is not None else ()),
+            )
+            total_samples = total_samples + n_eff
+            samples += K
+            n_alive = int(n_alive_dev)
+        results = {"opacity": opacity, "depth": depth,
+                   "total_samples": total_samples}
+        results.update(_split_rend(model, rend))
+        bg = _bg_color(model, jax.random.PRNGKey(0), False)
+        results["rgb"] = results["rgb"] + bg[None, :] * (1.0 - opacity[:, None])
+        return results
 
     n_steps = rcfg.test_n_samples
     # a round yields at most N*n_steps samples; never allocate beyond that
