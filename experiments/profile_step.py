@@ -1,27 +1,26 @@
 #!/usr/bin/env python
-"""Decompose the train step cost on real hardware.
+"""Stage-level decomposition of the production train step on real HW.
 
-Times each pipeline stage as its own jitted function on the bench
-configuration (batch 8192, grid 128, L=16) after a short occupancy
-warmup, so the march reflects realistic sparsity. Prints a ms-per-step
-table — the data perf work is driven by (VERDICT r1: "profiling, not
-guesses").
+Times the full step and its stages independently so optimization work
+targets the real bottleneck (r2: step ~170ms; march 70 + encode-bwd 48
++ mlp 3 accounted; this script pins down the rest: composite,
+distortion, clustering losses, optimizer, sampling).
 """
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from normal_clustering_nerf_tpu.config import (
     DataConfig, LossConfig, ModelConfig, OptimConfig, RenderConfig,
     TrainConfig,
 )
 from normal_clustering_nerf_tpu.datasets.synthetic import SyntheticDataset
+from normal_clustering_nerf_tpu.losses import compute_losses
 from normal_clustering_nerf_tpu.models.rendering import render_train
-from normal_clustering_nerf_tpu.ops.composite import composite_rays
-from normal_clustering_nerf_tpu.ops.ray_aabb import ray_aabb_intersect
-from normal_clustering_nerf_tpu.ops.ray_march import march_rays_train_dense
 from normal_clustering_nerf_tpu.training import Trainer
 
 
@@ -48,7 +47,8 @@ def main():
         loss=LossConfig(
             opacity_w=1e-3, distortion_w=1e-3,
             norm_D_C_ort_dot_w=0.1, norm_D_C_centr_dot_w=0.1,
-            norm_D_C_centr_L1_w=0.1, norm_can_tres=0.3, sem_w=0.04,
+            norm_D_C_centr_L1_w=0.1, norm_can_tres=0.3,
+            sem_w=0.04,
         ),
         data=DataConfig(batch_size=batch,
                         ray_sampling_strategy="all_images_triang"),
@@ -57,106 +57,99 @@ def main():
     scene = SyntheticDataset(split="train", img_wh=(128, 128), n_images=16).load()
     trainer = Trainer(cfg, scene)
     trainer.mark_invisible_cells()
-    print("warmup 48 steps...", flush=True)
-    for step in range(48):
-        if step % cfg.optim.update_interval == 0:
+    # converge the occupancy grid a bit so sparsity is realistic
+    for step in range(64):
+        if step % 16 == 0:
             k = jax.random.fold_in(jax.random.PRNGKey(7), step)
-            occ = trainer._occ_update[step < cfg.optim.warmup_steps](
+            occ = trainer._occ_update[step < 256](
                 trainer.state.occ, trainer.state.params, k)
             trainer.state = trainer.state._replace(occ=occ)
         trainer.state, _ = trainer._train_step(trainer.state, trainer.scene_dev)
     jax.block_until_ready(trainer.state.params)
-
     state = trainer.state
+    sc = trainer.scene_dev
+    full_step = jax.jit(trainer._train_step_impl)  # no donation: reusable args
+    print(f"full train step       {timeit(full_step, state, sc):8.2f} ms", flush=True)
+
     model = trainer.model
-    mcfg = cfg.model
-    rcfg = cfg.render
-    params = state.params["model"]
-    bitfield = state.occ.density_bitfield
+    sampler = trainer.sampler
+    key = jax.random.PRNGKey(3)
+    k_batch, k_render, k_loss = jax.random.split(key, 3)
+    batch_idx = sampler.sample(k_batch)
+    target = {"rgb": sc["rays"][batch_idx["img_idxs"], batch_idx["pix_idxs"]][..., :3]}
+    for name in ("depth", "normals", "normals_depth", "semantics", "semantics_WF"):
+        lk = f"label_{name}"
+        if lk in sc:
+            target[name] = sc[lk][batch_idx["img_idxs"], batch_idx["pix_idxs"]]
 
-    key = jax.random.PRNGKey(0)
-    batch_idx = trainer.sampler.sample(key)
-    rays_o, rays_d = jax.jit(trainer._assemble_rays)(
-        state.params, batch_idx, trainer.scene_dev)
-    jax.block_until_ready(rays_o)
-    N = rays_o.shape[0]
-    K = rcfg.sample_budget // N
+    @jax.jit
+    def sample_only(k):
+        return sampler.sample(k)
+    print(f"sampler               {timeit(sample_only, k_batch):8.2f} ms", flush=True)
 
-    hits_t = ray_aabb_intersect(rays_o, rays_d, jnp.zeros(3),
-                                jnp.full(3, mcfg.scale))
-    noise = jax.random.uniform(key, (N,))
+    rays_o, rays_d = jax.jit(trainer._assemble_rays)(state.params, batch_idx, sc)
 
-    march_kw = dict(
-        cascades=mcfg.cascades, scale=mcfg.scale,
-        exp_step_factor=mcfg.exp_step_factor, grid_size=mcfg.grid_size,
-        max_samples=mcfg.max_samples, samples_per_ray=K,
-        march_steps=rcfg.march_block,
-    )
-    march = jax.jit(lambda o, d, h, b, nz: march_rays_train_dense(
-        o, d, h, b, nz, **march_kw))
-    ms = timeit(march, rays_o, rays_d, hits_t, bitfield, noise)
-    print(f"march_dense           {ms:8.2f} ms")
+    @jax.jit
+    def render_fwd(params, bf):
+        return render_train(model, params["model"], bf, rays_o, rays_d,
+                            k_render, cfg.render, global_step=1000,
+                            depth_gt=target.get("depth"))
+    print(f"render fwd            {timeit(render_fwd, state.params, state.occ.density_bitfield):8.2f} ms", flush=True)
 
-    mr = march(rays_o, rays_d, hits_t, bitfield, noise)
-    xyz = (rays_o[:, None, :] + mr.t[..., None] * rays_d[:, None, :]
-           ).reshape(N * K, 3)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (N, K, 3)).reshape(N * K, 3)
-    jax.block_until_ready(xyz)
+    @jax.jit
+    def render_fwd_bwd(params, bf):
+        def f(p):
+            r = render_train(model, p["model"], bf, rays_o, rays_d,
+                             k_render, cfg.render, global_step=1000,
+                             depth_gt=target.get("depth"))
+            return (jnp.sum(r["rgb"] ** 2) + jnp.sum(r["depth"] ** 2)
+                    + jnp.sum(r["opacity"]) + jnp.sum(r["norm_nn"] ** 2)
+                    + jnp.sum(r["sem"] ** 2))
+        return jax.grad(f)(params)
+    print(f"render fwd+bwd        {timeit(render_fwd_bwd, state.params, state.occ.density_bitfield):8.2f} ms", flush=True)
 
-    field = jax.jit(lambda p, x, d: model(p, x, d))
-    ms = timeit(field, params, xyz, dirs)
-    print(f"field fwd (256k)      {ms:8.2f} ms")
+    results = render_fwd(state.params, state.occ.density_bitfield)
+    results = jax.tree_util.tree_map(jax.lax.stop_gradient, results)
 
-    def field_bwd(p, x, d):
-        out = model(p, x, d)
-        return (jnp.sum(out["sigmas"]) + jnp.sum(out["rgbs"])
-                + jnp.sum(out["norms"]) + jnp.sum(out["sems"]))
-    fg = jax.jit(jax.grad(field_bwd))
-    ms = timeit(fg, params, xyz, dirs)
-    print(f"field fwd+bwd         {ms:8.2f} ms")
+    @jax.jit
+    def losses_only(res):
+        return compute_losses(
+            res, target, cfg.loss, model.cfg, step=1000, key=k_loss,
+            ray_sampling_strategy=cfg.data.ray_sampling_strategy,
+            random_tr_poses=False, patch_area=sampler.patch_area,
+            offsets_local=sampler.offsets_local,
+        )["total"]
+    print(f"losses (fixed render) {timeit(losses_only, results):8.2f} ms", flush=True)
 
-    comp_in = field(params, xyz, dirs)
-    sig = comp_in["sigmas"].reshape(N, K)
-    raws = jnp.concatenate(
-        [comp_in["rgbs"], comp_in["norms"], comp_in["sems"]], -1
-    ).reshape(N, K, -1)
-    comp = jax.jit(lambda s, r, dt, t, v: composite_rays(s, r, dt, t, v))
-    ms = timeit(comp, sig, raws, mr.dt, mr.t, mr.valid)
-    print(f"composite fwd         {ms:8.2f} ms")
+    @jax.jit
+    def loss_fwd_bwd(params, bf):
+        def f(p):
+            r = render_train(model, p["model"], bf, rays_o, rays_d,
+                             k_render, cfg.render, global_step=1000,
+                             depth_gt=target.get("depth"))
+            return compute_losses(
+                r, target, cfg.loss, model.cfg, step=1000, key=k_loss,
+                ray_sampling_strategy=cfg.data.ray_sampling_strategy,
+                random_tr_poses=False, patch_area=sampler.patch_area,
+                offsets_local=sampler.offsets_local,
+            )["total"]
+        return jax.grad(f)(params)
+    print(f"loss fwd+bwd          {timeit(loss_fwd_bwd, state.params, state.occ.density_bitfield):8.2f} ms", flush=True)
 
-    rt = jax.jit(lambda p, o, d, k: render_train(
-        model, p, bitfield, o, d, k, rcfg))
-    ms = timeit(rt, params, rays_o, rays_d, key)
-    print(f"render_train fwd      {ms:8.2f} ms")
+    grads = loss_fwd_bwd(state.params, state.occ.density_bitfield)
 
-    def render_loss(p, o, d, k):
-        out = render_train(model, p, bitfield, o, d, k, rcfg)
-        return (jnp.sum(out["rgb"] ** 2) + jnp.sum(out["depth"])
-                + jnp.sum(out["opacity"]))
-    rg = jax.jit(jax.grad(render_loss))
-    ms = timeit(rg, params, rays_o, rays_d, key)
-    print(f"render_train fwd+bwd  {ms:8.2f} ms")
+    @jax.jit
+    def opt_step(g, opt_state, params):
+        updates, new_opt = trainer.tx.update(g, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return new_opt, params
+    print(f"optimizer             {timeit(opt_step, grads, state.opt_state, state.params):8.2f} ms", flush=True)
 
-    # _train_step donates state: thread it through the timing loop
-    st = state
-    for _ in range(3):
-        st, _m = trainer._train_step(st, trainer.scene_dev)
-    jax.block_until_ready(st.params)
-    t0 = time.perf_counter()
-    n = 30
-    for _ in range(n):
-        st, _m = trainer._train_step(st, trainer.scene_dev)
-    jax.block_until_ready(st.params)
-    ms = (time.perf_counter() - t0) / n * 1e3
-    print(f"full train step       {ms:8.2f} ms "
-          f"({batch / ms * 1e3:,.0f} rays/s)")
-
-    from functools import partial
-    occ_plain = jax.jit(partial(trainer._occ_update_impl, warmup=False))
-    k = jax.random.PRNGKey(9)
-    ms = timeit(lambda: occ_plain(st.occ, st.params, k), n=5)
-    print(f"occ update (per call) {ms:8.2f} ms "
-          f"(amortized /16: {ms / 16:.2f})")
+    @jax.jit
+    def occ_update(occ, params):
+        return trainer._occ_update_impl(occ, params, jax.random.PRNGKey(0),
+                                        warmup=False)
+    print(f"occ update (per 16)   {timeit(occ_update, state.occ, state.params):8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -40,8 +40,14 @@ class ModelConfig:
     # models/brick_hash.py); 'tcnn' = canonical tiny-cuda-nn vertex
     # layout (bit-exact tcnn parity, used by the parity test suite).
     # Equal parameter count: 64 * 2^log2_bricks == 2^log2_hashmap_size.
+    # 'triplane' = factorized triplane + coarse 3D grid (4 gather
+    # indices/sample vs 16 — the TPU-fast field; models/triplane.py)
     hash_layout: str = "brick"
     log2_bricks: int = 13
+    plane_res: int = 512             # triplane vertices per axis
+    plane_feats: int = 8             # 16*plane_feats == 128 (one lane row)
+    grid3d_res: int = 64             # coarse 3D grid vertices per axis
+    grid3d_feats: int = 4
     # MLP widths/depths (reference: models/ngp_mt.py:83-140)
     hidden_dim: int = 64
     sigma_hidden_layers: int = 1
@@ -94,6 +100,12 @@ class RenderConfig:
     march_block: int = 1024            # dense per-ray sample slots (<= max_samples)
     sample_budget: int = 0             # 0 = auto (n_rays * 32); cap on net evals
     march_layout: str = "dense"        # 'dense' (N, K) fast path | 'flat' oracle
+    # Two-level march: prune fine occupancy probes with the dilated
+    # supervoxel mask (models/occupancy.py coarse_occ); exact unless a
+    # ray's first K samples span > coarse_k_blocks candidate blocks
+    # (0 = auto: max(2*K/4, 8)). Single-cascade scenes only.
+    march_coarse: bool = True
+    coarse_k_blocks: int = 0
     max_march_iters: int = 4096        # safety bound on marching loop
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer

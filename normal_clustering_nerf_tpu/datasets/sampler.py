@@ -43,10 +43,14 @@ class PatchTables(NamedTuple):
 def build_triang_tables(h: int, w: int) -> TriangTables:
     """Valid triangle-corner index maps (reference: base.py:15-33)."""
     img = np.arange(h * w, dtype=np.int32).reshape(h, w)
+    # host numpy on purpose: these tables are closed over by the jitted
+    # train step; a closed-over DEVICE array would be fetched at trace
+    # time, which permanently degrades the axon TPU tunnel (see
+    # training/trainer.py mark_invisible_cells note)
     return TriangTables(
-        x1=jnp.asarray(img[1:-1, 1:-1].reshape(-1)),
-        x2=jnp.asarray(img[:-2, 1:-1].reshape(-1)),
-        x3=jnp.asarray(img[1:-1, :-2].reshape(-1)),
+        x1=np.ascontiguousarray(img[1:-1, 1:-1].reshape(-1)),
+        x2=np.ascontiguousarray(img[:-2, 1:-1].reshape(-1)),
+        x3=np.ascontiguousarray(img[1:-1, :-2].reshape(-1)),
     )
 
 
@@ -57,12 +61,13 @@ def build_patch_tables(h: int, w: int, patch_size: int = 8) -> PatchTables:
     corners = img[: h - p + 1, : w - p + 1].reshape(-1)
     offsets = img[:p, :p].reshape(-1)
     local = np.arange(p * p, dtype=np.int32).reshape(p, p)
+    # host numpy on purpose (see build_triang_tables)
     return PatchTables(
-        corners=jnp.asarray(corners),
-        offsets=jnp.asarray(offsets),
-        x1_local=jnp.asarray(local[1:, 1:].reshape(-1)),
-        x2_local=jnp.asarray(local[:-1, 1:].reshape(-1)),
-        x3_local=jnp.asarray(local[1:, :-1].reshape(-1)),
+        corners=np.ascontiguousarray(corners),
+        offsets=np.ascontiguousarray(offsets),
+        x1_local=np.ascontiguousarray(local[1:, 1:].reshape(-1)),
+        x2_local=np.ascontiguousarray(local[:-1, 1:].reshape(-1)),
+        x3_local=np.ascontiguousarray(local[1:, :-1].reshape(-1)),
     )
 
 
@@ -143,9 +148,11 @@ class RaySampler:
 
         tr = jax.random.randint(
             k_pix, (n_triang,), 0, self.triang.x1.shape[0])
-        x1 = self.triang.x1[tr]
-        x2 = self.triang.x2[tr]
-        x3 = self.triang.x3[tr]
+        # jnp.asarray on host tables embeds them as HLO constants at
+        # trace time (numpy can't be indexed by tracers)
+        x1 = jnp.asarray(self.triang.x1)[tr]
+        x2 = jnp.asarray(self.triang.x2)[tr]
+        x3 = jnp.asarray(self.triang.x3)[tr]
         if self.max_expand > 0:
             # dilate the unit triangle (reference: base.py:128-138)
             e = self.max_expand
@@ -172,8 +179,9 @@ class RaySampler:
                 out["rnd_img_idxs"] = jnp.repeat(r, pa)
         out["img_idxs"] = self._img_idxs(k_img, n_patches, pa, same)
         ci = jax.random.randint(k_pix, (n_patches,), 0, self.patch.corners.shape[0])
-        corners = self.patch.corners[ci]
-        out["pix_idxs"] = (corners[:, None] + self.patch.offsets[None, :]).reshape(-1)
+        corners = jnp.asarray(self.patch.corners)[ci]
+        out["pix_idxs"] = (corners[:, None]
+                           + jnp.asarray(self.patch.offsets)[None, :]).reshape(-1)
         return out
 
     # static triangle-extraction metadata consumed by the loss

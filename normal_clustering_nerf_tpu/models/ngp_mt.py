@@ -31,6 +31,7 @@ from ..config import ModelConfig
 from ..ops.trunc_exp import trunc_exp
 from .brick_hash import BrickGridSpec, brick_encode, init_brick_table
 from .hash_encoding import HashGridSpec, hash_encode, init_hash_table
+from .triplane import TriplaneSpec, init_triplane, triplane_encode
 
 Params = Dict[str, Any]
 
@@ -80,6 +81,11 @@ class NGPMT:
                 base_res=cfg.base_resolution,
                 per_level_scale=cfg.per_level_scale,
             )
+        elif cfg.hash_layout == "triplane":
+            self.grid_spec = TriplaneSpec.create(
+                plane_res=cfg.plane_res, plane_feats=cfg.plane_feats,
+                grid3d_res=cfg.grid3d_res, grid3d_feats=cfg.grid3d_feats,
+            )
         else:
             self.grid_spec = HashGridSpec.create(
                 n_levels=cfg.n_levels,
@@ -89,16 +95,21 @@ class NGPMT:
                 per_level_scale=cfg.per_level_scale,
             )
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.enc_dim = (self.grid_spec.out_dim
+                        if cfg.hash_layout == "triplane"
+                        else cfg.n_levels * cfg.n_features_per_level)
 
     # ------------------------------------------------------------ init
     def init(self, key) -> Params:
         cfg = self.cfg
         ks = jax.random.split(key, 8)
-        enc_dim = cfg.n_levels * cfg.n_features_per_level
+        enc_dim = self.enc_dim
         geo = cfg.geo_feat_dim
         W = cfg.hidden_dim
-        init_table = (init_brick_table if cfg.hash_layout == "brick"
-                      else init_hash_table)
+        init_table = {
+            "brick": init_brick_table,
+            "triplane": init_triplane,
+        }.get(cfg.hash_layout, init_hash_table)
         params: Params = {
             "hash_table": init_table(ks[0], self.grid_spec),
             "sigma_net": _init_mlp(
@@ -126,8 +137,10 @@ class NGPMT:
         """sigma at world positions x in [-scale, scale]^3
         (reference: models/ngp_mt.py:157-171)."""
         xn = (x + self.scale) / (2.0 * self.scale)  # -> [0, 1]^3
-        encode = (brick_encode if self.cfg.hash_layout == "brick"
-                  else hash_encode)
+        encode = {
+            "brick": brick_encode,
+            "triplane": triplane_encode,
+        }.get(self.cfg.hash_layout, hash_encode)
         enc = encode(
             params["hash_table"], xn, self.grid_spec, self.compute_dtype,
             need_dx=self.need_pos_grad,

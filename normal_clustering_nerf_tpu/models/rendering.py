@@ -107,6 +107,7 @@ def render_train(
     global_step=0,
     depth_gt: Optional[jnp.ndarray] = None,
     exposure: Optional[jnp.ndarray] = None,
+    coarse_occ: Optional[jnp.ndarray] = None,
 ):
     """Differentiable train-time rendering of a ray batch.
 
@@ -144,6 +145,8 @@ def render_train(
             exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
             max_samples=cfg.max_samples, samples_per_ray=K,
             march_steps=rcfg.march_block,
+            coarse_occ=coarse_occ if rcfg.march_coarse else None,
+            coarse_k_blocks=rcfg.coarse_k_blocks,
         )
         # t is a constant of the geometry (the reference likewise saves
         # ts and only backprops xyz->rays, custom_functions.py:102-112)
@@ -441,4 +444,5 @@ def render(model, params, bitfield, rays_o, rays_d, key, rcfg, test_time=False, 
         global_step=kw.get("global_step", 0),
         depth_gt=kw.get("depth_gt"),
         exposure=kw.get("exposure"),
+        coarse_occ=kw.get("coarse_occ"),
     )

@@ -281,6 +281,32 @@ def select_first_k(include, k: int):
     return idx.astype(jnp.int32), v > 0
 
 
+def coarse_lookup(xyz, coarse_occ, *, scale, grid_size):
+    """Dilated supervoxel occupancy probe (cascade 0 only).
+
+    `coarse_occ` is the box-dilated (G/8)^3 mask maintained by
+    models/occupancy.py:coarse_occupancy in the same [z, y, x]-linear
+    layout as the fine bitfield. Because the mask is dilated by one
+    supervoxel per axis, a positive test at any point within one
+    supervoxel (Chebyshev) of an occupied fine cell is guaranteed.
+    """
+    Gc = grid_size // 8
+    mip_bound = min(0.5, scale)
+    cell = jnp.clip(
+        0.5 * (xyz / mip_bound + 1.0) * Gc, 0.0, Gc - 1.0
+    ).astype(jnp.int32)
+    idx = (cell[..., 2] * Gc + cell[..., 1]) * Gc + cell[..., 0]
+    return coarse_occ[idx] > 0
+
+
+# Steps per coarse block. Safety bound: the probe sits at the block's
+# first step; the farthest in-block step is (COARSE_BLOCK-1)*dt_max =
+# 3*sqrt(3)*2*scale/G ~= 10.4*scale/G away per axis, under one
+# supervoxel (16*scale/G for cascades==1), so the 1-dilated coarse mask
+# at the probe point covers every step in the block.
+COARSE_BLOCK = 4
+
+
 def march_rays_train_dense(
     rays_o,
     rays_d,
@@ -295,6 +321,8 @@ def march_rays_train_dense(
     max_samples: int,
     samples_per_ray: int,
     march_steps: int = 0,
+    coarse_occ=None,
+    coarse_k_blocks: int = 0,
 ) -> DenseMarchResult:
     """March all rays into a dense (N, K) per-ray sample layout.
 
@@ -311,6 +339,16 @@ def march_rays_train_dense(
     Reference semantics preserved: step sequence, occupancy skip, and
     per-ray first-K cap match models/csrc/raymarching.cu:166-332 with a
     fair per-ray budget (see march_rays_train docstring).
+
+    When `coarse_occ` is given (and cascades == 1), a two-level march
+    prunes the fine occupancy probe: the dilated supervoxel mask is
+    probed once per COARSE_BLOCK-step block (S/4 probes instead of S),
+    and fine probes run only on the first `coarse_k_blocks` candidate
+    blocks per ray. Pruned blocks are provably empty (see
+    coarse_lookup), so results are exact unless a ray's first K
+    occupied samples span more than coarse_k_blocks candidate blocks
+    (then its sample set truncates early — same flavor of bound as the
+    per-ray cap itself).
     """
     N = rays_o.shape[0]
     S = march_steps or max_samples
@@ -324,18 +362,38 @@ def march_rays_train_dense(
         t0, S, exp_step_factor=exp_step_factor, max_samples=max_samples,
         grid_size=grid_size, scale=scale,
     )  # (N, S)
+    in_range_fn = lambda t: (t1 >= 0)[:, None] & (t < t2[:, None])
+
+    if coarse_occ is not None and cascades == 1 and S % COARSE_BLOCK == 0:
+        BS = COARSE_BLOCK
+        KB = min(coarse_k_blocks or max(2 * K // BS, 8), S // BS)
+        # coarse probe at each block's first step
+        tgc = tg[:, ::BS]                                  # (N, S/BS)
+        xyz_c = rays_o[:, None, :] + tgc[..., None] * rays_d[:, None, :]
+        cand = coarse_lookup(xyz_c, coarse_occ, scale=scale,
+                             grid_size=grid_size) & in_range_fn(tgc)
+        bidx, bval = select_first_k(cand, KB)              # (N, KB)
+        cols = (bidx[:, :, None] * BS
+                + jnp.arange(BS, dtype=jnp.int32)[None, None, :]
+                ).reshape(N, KB * BS)
+        colv = jnp.repeat(bval, BS, axis=1)
+        tg = jnp.take_along_axis(tg, cols, axis=1)         # (N, KB*BS)
+        gate = colv
+    else:
+        gate = True
+
     dtg = calc_dt(tg, exp_step_factor, max_samples, grid_size, scale)
     xyz = rays_o[:, None, :] + tg[..., None] * rays_d[:, None, :]
     occ = occupancy_lookup(
         xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
     )
-    include = occ & (t1 >= 0)[:, None] & (tg < t2[:, None])
+    include = occ & gate & in_range_fn(tg)
     # first-K per-ray cap applied before counting, matching the flat
     # path's per_ray_cap semantics (rm_samples counts capped samples)
     cnt = jnp.cumsum(include.astype(jnp.int32), axis=-1)
     rm_samples = jnp.sum(include & (cnt <= K))
 
-    idx, valid = select_first_k(include, K)
+    idx, valid = select_first_k(include, min(K, include.shape[1]))
     t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)
     dt_k = jnp.where(valid, jnp.take_along_axis(dtg, idx, axis=1), 0.0)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)

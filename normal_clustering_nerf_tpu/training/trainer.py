@@ -71,7 +71,10 @@ class Trainer:
             rnd, _ = generate_random_poses(
                 scene_train.poses, scene_train.xyz_cam_min,
                 scene_train.xyz_cam_max, 10000, seed=cfg.seed)
-            self.random_poses = jnp.asarray(rnd)
+            # host numpy on purpose: closed over by the jitted step; a
+            # device array here would be fetched at trace time and
+            # degrade the axon tunnel (see mark_invisible_cells note)
+            self.random_poses = np.asarray(rnd, np.float32)
             n_rand = rnd.shape[0]
         else:
             self.random_poses = None
@@ -174,7 +177,7 @@ class Trainer:
             t = poses[..., 3] + params["dT"][batch["img_idxs"]]
             poses = jnp.concatenate([rot, t[..., None]], axis=-1)
         if self.random_poses is not None:
-            rnd = self.random_poses[batch["rnd_img_idxs"]]
+            rnd = jnp.asarray(self.random_poses)[batch["rnd_img_idxs"]]
             poses = jnp.concatenate([poses, rnd], axis=0)
             dirs = jnp.concatenate([dirs, dirs], axis=0)
         return get_rays(dirs, poses)
@@ -210,6 +213,7 @@ class Trainer:
                 rays_o, rays_d, k_render, cfg.render,
                 global_step=state.step,
                 depth_gt=target.get("depth"),
+                coarse_occ=state.occ.coarse_occ,
             )
             loss_d = compute_losses(
                 results, target, cfg.loss, self.model.cfg,

@@ -220,3 +220,47 @@ def test_select_first_k_basic():
         [True, True, True], [False, False, False], [True, True, True]])
     np.testing.assert_array_equal(np.asarray(idx)[0], [1, 3, 4])
     np.testing.assert_array_equal(np.asarray(idx)[2], [0, 1, 2])
+
+
+def test_coarse_pruned_march_matches_exact(rng):
+    """The two-level coarse-pruned march must reproduce the exact dense
+    march sample-for-sample when coarse_k_blocks is generous (pruned
+    blocks are provably empty; see ops/ray_march.py coarse_lookup)."""
+    from normal_clustering_nerf_tpu.models.occupancy import coarse_occupancy
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense,
+    )
+
+    G, scale, max_samples = 32, 0.5, 256
+    occ = rng.random((G, G, G)) > 0.9
+    occ[10:20, 10:20, 10:20] = True
+    flat = occ.transpose(2, 1, 0).reshape(-1)
+    bitfield = packbits(jnp.asarray(flat.astype(np.float32)), 0.5)
+    coarse = coarse_occupancy(bitfield, G)
+
+    N, K = 48, 16
+    rays_o = rng.uniform(-1.5, 1.5, (N, 3)).astype(np.float32)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    noise = rng.random(N).astype(np.float32)
+    hits = ray_aabb_intersect(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.zeros(3), jnp.full(3, scale)
+    )
+    common = dict(cascades=1, scale=scale, exp_step_factor=0.0,
+                  grid_size=G, max_samples=max_samples,
+                  samples_per_ray=K)
+    exact = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), **common)
+    pruned = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), coarse_occ=coarse, coarse_k_blocks=64, **common)
+
+    np.testing.assert_array_equal(
+        np.asarray(pruned.ray_count), np.asarray(exact.ray_count))
+    e_v, p_v = np.asarray(exact.valid), np.asarray(pruned.valid)
+    np.testing.assert_array_equal(p_v, e_v)
+    np.testing.assert_allclose(
+        np.asarray(pruned.t)[p_v], np.asarray(exact.t)[e_v], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pruned.dt)[p_v], np.asarray(exact.dt)[e_v], rtol=1e-6)

@@ -128,3 +128,26 @@ def test_full_state_resume(tmp_path, scene):
     np.testing.assert_allclose(
         float(m_cont["loss_total"]), float(m_res["loss_total"]), rtol=1e-6)
     assert int(s_res.step) == 21
+
+
+def test_training_improves_psnr_triplane(scene):
+    """The TPU-fast triplane field (models/triplane.py) must learn the
+    room at least as fast as the hash layout in early training."""
+    cfg = _tiny_cfg()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, hash_layout="triplane", plane_res=65, grid3d_res=17))
+    tr = Trainer(cfg, scene)
+    tr.mark_invisible_cells()
+    psnrs = []
+    for step in range(60):
+        if step % cfg.optim.update_interval == 0:
+            k = jax.random.fold_in(jax.random.PRNGKey(0), step)
+            occ = tr._occ_update[step < cfg.optim.warmup_steps](
+                tr.state.occ, tr.state.params, k)
+            tr.state = tr.state._replace(occ=occ)
+        tr.state, m = tr._train_step(tr.state, tr.scene_dev)
+        psnrs.append(float(m["psnr"]))
+    assert np.isfinite(psnrs).all()
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.0, (
+        f"PSNR did not improve: {psnrs[:5]} ... {psnrs[-5:]}"
+    )
