@@ -80,6 +80,43 @@ def main():
     print(f"march dense coarse     {chain(jax.jit(march_coarse), noise0):8.2f} ms",
           flush=True)
 
+    from normal_clustering_nerf_tpu.models.occupancy import supervoxel_tables
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense_sv,
+    )
+    sv_m, sv_p = supervoxel_tables(bitfield, G)
+    jax.block_until_ready(sv_p)
+
+    def march_sv(noise):
+        mr = march_rays_train_dense_sv(
+            rays_o, rays_d, hits, sv_m, sv_p, noise,
+            scale=0.5, grid_size=G, max_samples=1024, samples_per_ray=K,
+            march_steps=S)
+        return (noise + jnp.sum(mr.t) * 1e-12) % 1.0
+    print(f"march dense sv-run     {chain(jax.jit(march_sv), noise0):8.2f} ms",
+          flush=True)
+
+    # triplane encode fwd / fwd+bwd
+    from normal_clustering_nerf_tpu.models.triplane import (
+        TriplaneSpec, init_triplane, triplane_encode,
+    )
+    tp_spec = TriplaneSpec.create()
+    tp = init_triplane(jax.random.PRNGKey(2), tp_spec)
+    xn_tp = jnp.asarray(rng.random((N * K, 3)).astype(np.float32))
+
+    def tp_fwd(x):
+        f = triplane_encode(tp, x, tp_spec)
+        return (x + jnp.sum(f) * 1e-12) % 1.0
+    print(f"triplane fwd           {chain(jax.jit(tp_fwd), xn_tp):8.2f} ms",
+          flush=True)
+
+    def tp_fwd_bwd(x):
+        g = jax.grad(
+            lambda t: jnp.sum(triplane_encode(t, x, tp_spec)))(tp)
+        return (x + jnp.sum(g["grid3d"][0]) * 1e-12) % 1.0
+    print(f"triplane fwd+bwd       {chain(jax.jit(tp_fwd_bwd), xn_tp):8.2f} ms",
+          flush=True)
+
     # hash encode fwd / fwd+bwd, chained through the sample positions
     M = N * K
     spec = BrickGridSpec.create(per_level_scale=mcfg.per_level_scale)

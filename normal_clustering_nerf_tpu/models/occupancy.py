@@ -32,6 +32,13 @@ class OccupancyState(NamedTuple):
     # coarse probes prune empty 16-step blocks before the exact
     # fine-cell lookups. Always kept in sync with density_bitfield.
     coarse_occ: jnp.ndarray      # ((G/8)^3,) uint8
+    # Supervoxel-run march tables (ops/ray_march.py sv path), cascade 0:
+    # sv_mask is UNdilated supervoxel occupancy; sv_payload packs each
+    # supervoxel's 8^3 fine bits as 32 lanes of 16-bit words (int32),
+    # bit L = (lz*8+ly)*8+lx at word L>>4, bit L&15 — one row gather
+    # yields every fine bit of a supervoxel.
+    sv_mask: jnp.ndarray         # ((G/8)^3,) uint8
+    sv_payload: jnp.ndarray      # ((G/8)^3, 32) int32
 
 
 def coarse_occupancy(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
@@ -58,6 +65,32 @@ def coarse_occupancy(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
     return coarse.reshape(-1).astype(jnp.uint8)
 
 
+def supervoxel_tables(bitfield: jnp.ndarray, grid_size: int):
+    """(sv_mask, sv_payload) for the supervoxel-run march.
+
+    sv_payload row for supervoxel (zc, yc, xc) (flat id
+    (zc*Gc + yc)*Gc + xc, matching the fine [z, y, x]-linear layout)
+    packs its 8^3 fine occupancy bits into 32 int32 lanes holding
+    16-bit words: local cell (lx, ly, lz) is bit L = (lz*8+ly)*8+lx,
+    stored at lane L>>4, bit L&15. 16-bit words keep the float-exact
+    bit-extraction trick (floor(word * 2^-b) mod 2) inside f32 range.
+    sv_mask is the UNdilated per-supervoxel any-bit mask.
+    """
+    G = grid_size
+    Gc = G // 8
+    masks = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    bits = ((bitfield[: G ** 3 // 8, None] & masks) > 0).astype(jnp.int32)
+    occ = bits.reshape(G, G, G)                        # [z, y, x]
+    blk = occ.reshape(Gc, 8, Gc, 8, Gc, 8)             # (zc,lz,yc,ly,xc,lx)
+    blk = blk.transpose(0, 2, 4, 1, 3, 5)              # (zc,yc,xc,lz,ly,lx)
+    flat = blk.reshape(Gc ** 3, 512)                   # bit L ordering
+    w16 = jnp.asarray([1 << i for i in range(16)], jnp.int32)
+    payload = jnp.sum(flat.reshape(Gc ** 3, 32, 16) * w16, axis=-1,
+                      dtype=jnp.int32)
+    mask = (jnp.max(flat, axis=-1) > 0).astype(jnp.uint8)
+    return mask, payload
+
+
 class OccupancyGrid:
     """Static geometry + pure update functions (state passed explicitly)."""
 
@@ -69,11 +102,14 @@ class OccupancyGrid:
 
     def init_state(self) -> OccupancyState:
         G3 = self.G ** 3
+        Gc3 = (self.G // 8) ** 3
         return OccupancyState(
             density_grid=jnp.zeros((self.cascades, G3), jnp.float32),
             density_bitfield=jnp.zeros((self.cascades * G3 // 8,), jnp.uint8),
             count_grid=jnp.zeros((self.cascades, G3), jnp.float32),
-            coarse_occ=jnp.zeros(((self.G // 8) ** 3,), jnp.uint8),
+            coarse_occ=jnp.zeros((Gc3,), jnp.uint8),
+            sv_mask=jnp.zeros((Gc3,), jnp.uint8),
+            sv_payload=jnp.zeros((Gc3, 32), jnp.int32),
         )
 
     # ------------------------------------------------------------ geometry
@@ -181,7 +217,9 @@ class OccupancyGrid:
         thr = jnp.minimum(mean_density, density_threshold)
         bitfield = packbits(grid, thr)
         coarse = coarse_occupancy(bitfield, self.G)
-        return OccupancyState(grid, bitfield, state.count_grid, coarse)
+        sv_mask, sv_payload = supervoxel_tables(bitfield, self.G)
+        return OccupancyState(grid, bitfield, state.count_grid, coarse,
+                              sv_mask, sv_payload)
 
     # ---------------------------------------------------- visibility marks
     def mark_invisible_cells(
@@ -233,18 +271,27 @@ class OccupancyGrid:
             counts = counts.at[c].set(count)
             density = density.at[c].set(jnp.where(valid, 0.0, -1.0))
         return OccupancyState(
-            density, state.density_bitfield, counts, state.coarse_occ
+            density, state.density_bitfield, counts, state.coarse_occ,
+            state.sv_mask, state.sv_payload,
         )
 
     # ------------------------------------------------------ multi-chip sync
     @staticmethod
     def merge_across_chips(state: OccupancyState, axis_name: str) -> OccupancyState:
-        """pmax-merge per-chip grid updates (SURVEY.md §5.8): each chip
-        samples different cells; the max over chips is the union of their
-        evidence. Call inside shard_map after `update`."""
+        """Merge per-chip grid updates (SURVEY.md §5.8): each chip samples
+        different cells; the union of their evidence is pmax over the
+        density grid and bitwise-OR over occupancy bits. NOTE: pmax over
+        PACKED bytes/words is NOT bitwise-OR (max(0b01, 0b10) = 0b10),
+        so packed fields are unpacked to bits, pmax'd, and rebuilt."""
         grid = jax.lax.pmax(state.density_grid, axis_name)
-        bitfield = jax.lax.pmax(state.density_bitfield, axis_name)
-        # dilation commutes with max, so pmax of per-chip coarse masks is
-        # exactly the coarse mask of the pmax'd bitfield
-        coarse = jax.lax.pmax(state.coarse_occ, axis_name)
-        return OccupancyState(grid, bitfield, state.count_grid, coarse)
+        masks = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+        bits = ((state.density_bitfield[:, None] & masks) > 0)
+        bits = jax.lax.pmax(bits.astype(jnp.uint8), axis_name)
+        bitfield = jnp.sum(bits * masks, axis=-1, dtype=jnp.uint8)
+        # dilation/any-reduction commute with the bitwise union, so the
+        # derived tables are exactly those of the merged bitfield
+        grid_size = round(state.density_grid.shape[1] ** (1.0 / 3.0))
+        coarse = coarse_occupancy(bitfield, grid_size)
+        sv_mask, sv_payload = supervoxel_tables(bitfield, grid_size)
+        return OccupancyState(grid, bitfield, state.count_grid, coarse,
+                              sv_mask, sv_payload)

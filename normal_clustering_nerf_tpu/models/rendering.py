@@ -27,7 +27,7 @@ from ..ops.composite import composite_rays, composite_rays_compact
 from ..ops.ray_aabb import ray_aabb_intersect
 from ..ops.ray_march import (
     march_rays_test_round, march_rays_test_round_dense, march_rays_train,
-    march_rays_train_dense,
+    march_rays_train_dense, march_rays_train_dense_sv,
 )
 
 
@@ -108,6 +108,8 @@ def render_train(
     depth_gt: Optional[jnp.ndarray] = None,
     exposure: Optional[jnp.ndarray] = None,
     coarse_occ: Optional[jnp.ndarray] = None,
+    sv_mask: Optional[jnp.ndarray] = None,
+    sv_payload: Optional[jnp.ndarray] = None,
 ):
     """Differentiable train-time rendering of a ray batch.
 
@@ -139,15 +141,26 @@ def render_train(
         # scatter compaction, and compositing/distortion become plain
         # per-row cumulative ops.
         K = budget // N
-        mr = march_rays_train_dense(
-            rays_o, rays_d, hits_t, bitfield, noise,
-            cascades=cfg.cascades, scale=cfg.scale,
-            exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
-            max_samples=cfg.max_samples, samples_per_ray=K,
-            march_steps=rcfg.march_block,
-            coarse_occ=coarse_occ if rcfg.march_coarse else None,
-            coarse_k_blocks=rcfg.coarse_k_blocks,
-        )
+        use_sv = (rcfg.march_coarse and sv_mask is not None
+                  and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+                  and cfg.grid_size % 8 == 0)
+        if use_sv:
+            mr = march_rays_train_dense_sv(
+                rays_o, rays_d, hits_t, sv_mask, sv_payload, noise,
+                scale=cfg.scale, grid_size=cfg.grid_size,
+                max_samples=cfg.max_samples, samples_per_ray=K,
+                march_steps=rcfg.march_block,
+            )
+        else:
+            mr = march_rays_train_dense(
+                rays_o, rays_d, hits_t, bitfield, noise,
+                cascades=cfg.cascades, scale=cfg.scale,
+                exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
+                max_samples=cfg.max_samples, samples_per_ray=K,
+                march_steps=rcfg.march_block,
+                coarse_occ=coarse_occ if rcfg.march_coarse else None,
+                coarse_k_blocks=rcfg.coarse_k_blocks,
+            )
         # t is a constant of the geometry (the reference likewise saves
         # ts and only backprops xyz->rays, custom_functions.py:102-112)
         t_const = jax.lax.stop_gradient(mr.t)

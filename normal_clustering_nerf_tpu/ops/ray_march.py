@@ -402,6 +402,139 @@ def march_rays_train_dense(
     )
 
 
+def march_rays_train_dense_sv(
+    rays_o,
+    rays_d,
+    hits_t,
+    sv_mask,
+    sv_payload,
+    noise,
+    *,
+    scale: float,
+    grid_size: int,
+    max_samples: int,
+    samples_per_ray: int,
+    march_steps: int = 0,
+    n_intervals: int = 8,
+) -> DenseMarchResult:
+    """Supervoxel-run march — the uniform-step single-cascade fast path.
+
+    Replaces per-step occupancy probes (gather cost ~8 ns per INDEX on
+    TPU, the dominant march cost) with per-supervoxel-run work:
+
+      1. closed-form supervoxel boundary crossings (3 arithmetic
+         progressions, one per axis) sorted into ray intervals — each
+         interval lies in exactly one (G/8)^3 supervoxel;
+      2. ONE gather per interval midpoint into the undilated
+         supervoxel mask (~51 indices/ray instead of S=1024);
+      3. for the first `n_intervals` occupied intervals, ONE row
+         gather fetches the supervoxel's full 512-bit fine occupancy
+         payload (models/occupancy.py supervoxel_tables); per-step bit
+         extraction is then pure VPU math (one-hot word select + the
+         float-exact floor(word * 2^-b) mod 2 trick — no gathers).
+
+    Exactness: produces the identical sample set to
+    `march_rays_train_dense` (parity-tested) unless a ray's first K
+    occupied samples span more than `n_intervals` occupied supervoxel
+    crossings — then its tail truncates (same flavor of bound as the
+    per-ray cap). Preconditions: cascades == 1, exp_step_factor == 0
+    (uniform dt), grid_size % 8 == 0.
+    """
+    N = rays_o.shape[0]
+    G = grid_size
+    Gc = G // 8
+    mb = min(0.5, scale)
+    sv = 2.0 * mb / Gc
+    lo = SQRT3 / max_samples
+    S = march_steps or max_samples
+    K = min(samples_per_ray, S)
+    RI = n_intervals
+    SI = int(sv * SQRT3 / lo) + 3
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    hit = t1 >= 0
+
+    t0 = t1 + lo * noise
+    t_end = jnp.where(hit, jnp.minimum(t2, t0 + S * lo), -jnp.inf)
+    inf = jnp.float32(jnp.inf)
+
+    # ---- phase A: supervoxel boundary crossings -> occupied intervals
+    jj = jnp.arange(Gc + 1, dtype=jnp.float32)                # (Gc+1,)
+    denom = jnp.where(jnp.abs(rays_d) < 1e-9, 1e-9, rays_d)   # (N, 3)
+    tb = ((jj[None, None, :] * sv - mb) - rays_o[:, :, None]) / denom[:, :, None]
+    tb = tb.reshape(N, 3 * (Gc + 1))
+    tb = jnp.where((tb > t0[:, None]) & (tb < t_end[:, None]), tb, inf)
+    t0b = jnp.where(hit, t0, inf)[:, None]
+    teb = jnp.where(hit, t_end, inf)[:, None]
+    bounds = jnp.sort(jnp.concatenate([t0b, tb, teb], axis=1), axis=1)
+    b0, b1 = bounds[:, :-1], bounds[:, 1:]                    # (N, NB)
+    tm = 0.5 * (b0 + b1)
+    iv_valid = jnp.isfinite(b1) & (b1 > b0 + 1e-9)
+
+    svc = []
+    for a in range(3):
+        pos_a = rays_o[:, a:a + 1] + jnp.where(iv_valid, tm, 0.0) * rays_d[:, a:a + 1]
+        svc.append(jnp.clip(jnp.floor((pos_a + mb) / sv), 0, Gc - 1
+                            ).astype(jnp.int32))
+    sv_id = (svc[2] * Gc + svc[1]) * Gc + svc[0]              # (N, NB)
+    occ_iv = (sv_mask[sv_id] > 0) & iv_valid
+    # a ray enters each supervoxel once; duplicate-sv intervals only
+    # arise from degenerate corner crossings and are always adjacent
+    occ_iv = occ_iv & ((sv_id != jnp.roll(sv_id, 1, axis=1))
+                       | (jnp.arange(sv_id.shape[1]) == 0)[None, :])
+
+    iidx, ivalid = select_first_k(occ_iv, min(RI, occ_iv.shape[1]))
+    RI = iidx.shape[1]
+    ts_r = jnp.take_along_axis(b0, iidx, axis=1)              # (N, RI)
+    svid_r = jnp.take_along_axis(sv_id, iidx, axis=1)
+    payload = sv_payload[svid_r].astype(jnp.float32)          # (N, RI, 32)
+    szc = svid_r // (Gc * Gc)
+    syc = (svid_r // Gc) % Gc
+    sxc = svid_r % Gc
+
+    # ---- phase B: enumerate steps per interval, extract payload bits
+    k0 = jnp.ceil((ts_r - t0[:, None]) / lo).astype(jnp.int32) - 1
+    jloc = jnp.arange(SI, dtype=jnp.int32)
+    kk = k0[:, :, None] + jloc[None, None, :]                 # (N, RI, SI)
+    tt = t0[:, None, None] + kk.astype(jnp.float32) * lo
+    in_rng = ((kk >= 0) & (kk < S) & (tt < t_end[:, None, None])
+              & ivalid[:, :, None])
+
+    # global fine cell per axis (same formula as occupancy_lookup),
+    # ownership check vs the interval's supervoxel, local coords
+    own = in_rng
+    loc = []
+    for a, svc_sel in ((0, sxc), (1, syc), (2, szc)):
+        pos_a = rays_o[:, a, None, None] + tt * rays_d[:, a, None, None]
+        cell_a = jnp.clip(jnp.floor((pos_a + mb) / (2 * mb) * G), 0, G - 1
+                          ).astype(jnp.int32)
+        own = own & ((cell_a >> 3) == svc_sel[:, :, None])
+        loc.append(cell_a - 8 * svc_sel[:, :, None])          # local [0,8)
+    lx, ly, lz = loc
+    L = (lz * 8 + ly) * 8 + lx                                # [0, 512)
+    w_idx = L >> 4
+    b_idx = (L & 15).astype(jnp.float32)
+
+    lanes = jnp.arange(32, dtype=jnp.int32)
+    onehot = (w_idx[..., None] == lanes).astype(jnp.float32)  # (N,RI,SI,32)
+    word = jnp.sum(payload[:, :, None, :] * onehot, axis=-1)  # (N,RI,SI)
+    # float-exact bit extraction: word < 2^16, 2^-b exact powers of two
+    bit = jnp.floor(word * jnp.exp2(-b_idx)) % 2.0
+    include = (bit > 0.5) & own
+
+    incf = include.reshape(N, RI * SI)
+    ttf = tt.reshape(N, RI * SI)
+    cnt = jnp.cumsum(incf.astype(jnp.int32), axis=-1)
+    rm_samples = jnp.sum(incf & (cnt <= K))
+
+    sidx, valid = select_first_k(incf, min(K, RI * SI))
+    t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
+    dt_k = jnp.where(valid, lo, 0.0)
+    ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    return DenseMarchResult(
+        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
+    )
+
+
 def march_rays_test_round_dense(
     rays_o,
     rays_d,

@@ -214,6 +214,8 @@ class Trainer:
                 global_step=state.step,
                 depth_gt=target.get("depth"),
                 coarse_occ=state.occ.coarse_occ,
+                sv_mask=state.occ.sv_mask,
+                sv_payload=state.occ.sv_payload,
             )
             loss_d = compute_losses(
                 results, target, cfg.loss, self.model.cfg,

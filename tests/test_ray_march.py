@@ -264,3 +264,48 @@ def test_coarse_pruned_march_matches_exact(rng):
         np.asarray(pruned.t)[p_v], np.asarray(exact.t)[e_v], rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(pruned.dt)[p_v], np.asarray(exact.dt)[e_v], rtol=1e-6)
+
+
+def test_sv_march_matches_exact(rng):
+    """The supervoxel-run march must reproduce the exact dense march
+    sample-for-sample on realistic occupancy (walls + clutter)."""
+    from normal_clustering_nerf_tpu.models.occupancy import supervoxel_tables
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense, march_rays_train_dense_sv,
+    )
+
+    G, scale, max_samples = 32, 0.5, 256
+    occ = rng.random((G, G, G)) > 0.97
+    occ[:3] = occ[-3:] = True
+    occ[:, :3] = occ[:, -3:] = True
+    occ[:, :, :3] = occ[:, :, -3:] = True
+    flat = occ.transpose(2, 1, 0).reshape(-1)
+    bitfield = packbits(jnp.asarray(flat.astype(np.float32)), 0.5)
+    sv_mask, sv_payload = supervoxel_tables(bitfield, G)
+
+    N, K = 64, 16
+    rays_o = rng.uniform(-0.45, 0.45, (N, 3)).astype(np.float32)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    noise = rng.random(N).astype(np.float32)
+    hits = ray_aabb_intersect(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.zeros(3), jnp.full(3, scale)
+    )
+    common = dict(scale=scale, grid_size=G, max_samples=max_samples,
+                  samples_per_ray=K)
+    exact = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), cascades=1, exp_step_factor=0.0, **common)
+    svr = march_rays_train_dense_sv(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, sv_mask, sv_payload,
+        jnp.asarray(noise), n_intervals=24, **common)
+
+    e_v, s_v = np.asarray(exact.valid), np.asarray(svr.valid)
+    np.testing.assert_array_equal(
+        np.asarray(svr.ray_count), np.asarray(exact.ray_count))
+    for r in range(N):
+        np.testing.assert_allclose(
+            np.asarray(svr.t)[r][s_v[r]], np.asarray(exact.t)[r][e_v[r]],
+            rtol=1e-6, atol=1e-7, err_msg=f"ray {r}")
+    np.testing.assert_allclose(
+        np.asarray(svr.dt)[s_v], np.asarray(exact.dt)[e_v], rtol=1e-6)
