@@ -31,7 +31,8 @@ def _log(msg):
     print(f"[bench {time.time() - T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def build_trainer(batch, num_chips=1, compute_dtype="float32"):
+def build_trainer(batch, num_chips=1, compute_dtype="float32",
+                  hash_layout="brick"):
     from normal_clustering_nerf_tpu.config import (
         DataConfig, LossConfig, ModelConfig, OptimConfig, ParallelConfig,
         RenderConfig, TrainConfig,
@@ -44,6 +45,7 @@ def build_trainer(batch, num_chips=1, compute_dtype="float32"):
             scale=0.5, grid_size=128, max_samples=1024,
             pred_norm_nn=True, pred_norm_depth=True, pred_sem=True,
             n_sem_cls=3, compute_dtype=compute_dtype,
+            hash_layout=hash_layout,
         ),
         render=RenderConfig(march_block=1024, sample_budget=batch * 32),
         loss=LossConfig(
@@ -84,13 +86,16 @@ def main():
     ap.add_argument("--num_chips", type=int, default=1)
     ap.add_argument("--skip-quality", action="store_true")
     ap.add_argument("--compute_dtype", type=str, default="float32")
+    ap.add_argument("--hash_layout", type=str, default="brick",
+                    choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
     args = ap.parse_args()
 
     import jax
 
     batch = args.batch
-    trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype)
+    trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype,
+                                 args.hash_layout)
     _log("marking invisible cells")
     trainer.mark_invisible_cells()
     jax.block_until_ready(trainer.state.occ.density_grid)
@@ -135,7 +140,8 @@ def main():
         # scaling efficiency vs a single-chip run of the same per-chip
         # batch (BASELINE target: >=85% from 1 chip to 2 hosts)
         _log("single-chip reference run for scaling efficiency")
-        tr1, cfg1 = build_trainer(batch, 1, args.compute_dtype)
+        tr1, cfg1 = build_trainer(batch, 1, args.compute_dtype,
+                                  args.hash_layout)
         tr1.mark_invisible_cells()
         run_steps(tr1, cfg1, warm)
         jax.block_until_ready(tr1.state.params)
