@@ -242,7 +242,8 @@ def render_train(
 
 
 @lru_cache(maxsize=64)
-def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure):
+def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
+                               use_sv=False):
     """Jitted one-round alive-compacted march+eval+composite.
 
     The TPU replacement for the reference's dynamic alive-ray compaction
@@ -262,34 +263,48 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure):
                max_samples=mcfg.max_samples, grid_size=mcfg.grid_size,
                scale=mcfg.scale)
 
-    def round_fn(params, bitfield, rays_o, rays_d, t2,
+    def round_fn(params, occ_tables, rays_o, rays_d, t2,
                  cursor, alive, opacity, depth, rend, exposure=None):
         from ..ops.ray_march import (
-            calc_dt, occupancy_lookup, select_first_k, t_step_grid,
+            calc_dt, march_rays_test_round_sv, occupancy_lookup,
+            select_first_k, t_step_grid,
         )
         # ---- alive-ray compaction: first B alive ray ids (row top_k) ----
         idx, sel = select_first_k(alive[None, :], B)
         idx, sel = idx[0], sel[0]                           # (B,)
         ro, rd = rays_o[idx], rays_d[idx]
         cur, far = cursor[idx], t2[idx]
-        # ---- march probe window from each cursor ----
-        tg_ext = t_step_grid(cur, S_march + 1, **mkw)
-        tg = tg_ext[:, :S_march]
-        dtg = calc_dt(tg, mcfg.exp_step_factor, mcfg.max_samples,
-                      mcfg.grid_size, mcfg.scale)
-        xyz = ro[:, None, :] + tg[..., None] * rd[:, None, :]
-        occ = occupancy_lookup(xyz, dtg, bitfield, cascades=mcfg.cascades,
-                               scale=mcfg.scale, grid_size=mcfg.grid_size)
-        include = occ & sel[:, None] & (cur >= 0)[:, None] & (tg < far[:, None])
-        sidx, svalid = select_first_k(include, K)
-        t_k = jnp.where(svalid, jnp.take_along_axis(tg, sidx, axis=1), 0.0)
-        dt_k = jnp.where(svalid, jnp.take_along_axis(dtg, sidx, axis=1), 0.0)
-        n_found = jnp.sum(svalid, axis=-1)
-        # cursor: just past the K-th occupied sample when K were found
-        # (unprobed space stays ahead of the cursor), else past the
-        # whole probed window (raymarching.cu:390 cursor semantics)
-        last_col = jnp.where(n_found >= K, sidx[:, K - 1] + 1, S_march)
-        new_cur_b = jnp.take_along_axis(tg_ext, last_col[:, None], axis=1)[:, 0]
+        if use_sv:
+            # supervoxel-run round: collect the next K occupied samples
+            # directly (no fixed probe window), cursor lattice-aligned
+            t_k, dt_k, svalid, new_cur_b = march_rays_test_round_sv(
+                ro, rd, cur, far, sel, occ_tables["sv_mask"],
+                occ_tables["sv_payload"], scale=mcfg.scale,
+                grid_size=mcfg.grid_size, max_samples=mcfg.max_samples,
+                n_steps=K)
+        else:
+            bitfield = occ_tables["bitfield"]
+            # ---- march probe window from each cursor ----
+            tg_ext = t_step_grid(cur, S_march + 1, **mkw)
+            tg = tg_ext[:, :S_march]
+            dtg = calc_dt(tg, mcfg.exp_step_factor, mcfg.max_samples,
+                          mcfg.grid_size, mcfg.scale)
+            xyz = ro[:, None, :] + tg[..., None] * rd[:, None, :]
+            occ = occupancy_lookup(xyz, dtg, bitfield, cascades=mcfg.cascades,
+                                   scale=mcfg.scale, grid_size=mcfg.grid_size)
+            include = (occ & sel[:, None] & (cur >= 0)[:, None]
+                       & (tg < far[:, None]))
+            sidx, svalid = select_first_k(include, K)
+            t_k = jnp.where(svalid, jnp.take_along_axis(tg, sidx, axis=1), 0.0)
+            dt_k = jnp.where(svalid,
+                             jnp.take_along_axis(dtg, sidx, axis=1), 0.0)
+            n_found = jnp.sum(svalid, axis=-1)
+            # cursor: just past the K-th occupied sample when K were found
+            # (unprobed space stays ahead of the cursor), else past the
+            # whole probed window (raymarching.cu:390 cursor semantics)
+            last_col = jnp.where(n_found >= K, sidx[:, K - 1] + 1, S_march)
+            new_cur_b = jnp.take_along_axis(
+                tg_ext, last_col[:, None], axis=1)[:, 0]
         # ---- field eval on exactly B*K slots ----
         xyz_k = (ro[:, None, :] + t_k[..., None] * rd[:, None, :]).reshape(B * K, 3)
         dirs_k = jnp.broadcast_to(rd[:, None, :], (B, K, 3)).reshape(B * K, 3)
@@ -368,6 +383,8 @@ def render_test(
     rays_d,
     rcfg: RenderConfig,
     exposure: Optional[jnp.ndarray] = None,
+    sv_mask: Optional[jnp.ndarray] = None,
+    sv_payload: Optional[jnp.ndarray] = None,
 ):
     """Inference rendering via fixed-shape marching/compositing rounds
     (reference: models/rendering.py:46-149). Host-driven round loop; each
@@ -400,15 +417,21 @@ def render_test(
         # (reference: models/rendering.py:77-84).
         min_samples = 1 if cfg.exp_step_factor == 0 else 4
         S_march = rcfg.test_march_window
+        use_sv = (rcfg.march_coarse and sv_mask is not None
+                  and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+                  and cfg.grid_size % 8 == 0)
+        occ_tables = ({"sv_mask": sv_mask, "sv_payload": sv_payload}
+                      if use_sv else {"bitfield": bitfield})
         n_alive = int(jnp.sum(alive))
         samples = 0
         while samples < cfg.max_samples and n_alive > 0:
             B = min(N, max(256, 1 << (n_alive - 1).bit_length()))
             K = max(min(N // B, 64), min_samples)
             round_fn = _make_test_round_bucket_fn(
-                cfg, rcfg.T_threshold, B, K, S_march, exposure is not None)
+                cfg, rcfg.T_threshold, B, K, S_march, exposure is not None,
+                use_sv)
             cursor, alive, opacity, depth, rend, n_eff, n_alive_dev = round_fn(
-                params, bitfield, rays_o, rays_d, t2,
+                params, occ_tables, rays_o, rays_d, t2,
                 cursor, alive, opacity, depth, rend,
                 *((exposure,) if exposure is not None else ()),
             )
@@ -451,7 +474,9 @@ def render(model, params, bitfield, rays_o, rays_d, key, rcfg, test_time=False, 
     """Dispatch (reference: models/rendering.py:10-42)."""
     if test_time:
         return render_test(model, params, bitfield, rays_o, rays_d, rcfg,
-                           exposure=kw.get("exposure"))
+                           exposure=kw.get("exposure"),
+                           sv_mask=kw.get("sv_mask"),
+                           sv_payload=kw.get("sv_payload"))
     return render_train(
         model, params, bitfield, rays_o, rays_d, key, rcfg,
         global_step=kw.get("global_step", 0),

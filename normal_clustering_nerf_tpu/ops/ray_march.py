@@ -440,21 +440,36 @@ def march_rays_train_dense_sv(
     per-ray cap). Preconditions: cascades == 1, exp_step_factor == 0
     (uniform dt), grid_size % 8 == 0.
     """
+    lo = SQRT3 / max_samples
+    S = march_steps or max_samples
+    K = min(samples_per_ray, S)
+    t1, t2 = hits_t[:, 0], hits_t[:, 1]
+    hit = t1 >= 0
+    t0 = t1 + lo * noise
+    t_end = jnp.where(hit, jnp.minimum(t2, t0 + S * lo), -jnp.inf)
+    t_k, dt_k, valid, ray_count, rm_samples, _ = _sv_scan(
+        rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
+        scale=scale, grid_size=grid_size, K=K, S=S, lo=lo, RI=n_intervals)
+    return DenseMarchResult(
+        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
+    )
+
+
+def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
+             scale, grid_size, K, S, lo, RI):
+    """Core supervoxel-run scan (see march_rays_train_dense_sv).
+
+    Returns (t_k (N,K), dt_k, valid, ray_count, rm_samples, scan_end)
+    where scan_end is the per-ray horizon up to which the scan provably
+    enumerated every occupied sample (t_end, or the end of the RI-th
+    occupied interval when the interval budget was exhausted).
+    """
     N = rays_o.shape[0]
     G = grid_size
     Gc = G // 8
     mb = min(0.5, scale)
     sv = 2.0 * mb / Gc
-    lo = SQRT3 / max_samples
-    S = march_steps or max_samples
-    K = min(samples_per_ray, S)
-    RI = n_intervals
     SI = int(sv * SQRT3 / lo) + 3
-    t1, t2 = hits_t[:, 0], hits_t[:, 1]
-    hit = t1 >= 0
-
-    t0 = t1 + lo * noise
-    t_end = jnp.where(hit, jnp.minimum(t2, t0 + S * lo), -jnp.inf)
     inf = jnp.float32(jnp.inf)
 
     # ---- phase A: supervoxel boundary crossings -> occupied intervals
@@ -490,6 +505,10 @@ def march_rays_train_dense_sv(
     szc = svid_r // (Gc * Gc)
     syc = (svid_r // Gc) % Gc
     sxc = svid_r % Gc
+
+    # scan horizon: everything below it was provably enumerated
+    te_last = jnp.take_along_axis(b1, iidx, axis=1)[:, -1]
+    scan_end = jnp.where(ivalid[:, -1], te_last, t_end)
 
     # ---- phase B: enumerate steps per interval, extract payload bits
     k0 = jnp.ceil((ts_r - t0[:, None]) / lo).astype(jnp.int32) - 1
@@ -530,9 +549,54 @@ def march_rays_train_dense_sv(
     t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
-    return DenseMarchResult(
-        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
-    )
+    return t_k, dt_k, valid, ray_count, rm_samples, scan_end
+
+
+def march_rays_test_round_sv(
+    rays_o,
+    rays_d,
+    cursor,
+    t_far,
+    alive,
+    sv_mask,
+    sv_payload,
+    *,
+    scale: float,
+    grid_size: int,
+    max_samples: int,
+    n_steps: int,
+    n_intervals: int = 8,
+):
+    """One inference marching round via the supervoxel-run scan.
+
+    The sv equivalent of the reference test kernel
+    (raymarching.cu:335-404): collect up to `n_steps` occupied samples
+    per alive ray starting at its cursor, advancing the cursor PAST the
+    last collected sample (or past the provably-enumerated horizon when
+    fewer were found). The cursor always lands on the ray's original
+    step lattice (cursor + ceil(.)*lo), so the enumerated sample set is
+    identical to the fixed-window oracle path.
+
+    Returns (t (N,K), dt (N,K), valid (N,K), new_cursor (N,)).
+    """
+    lo = SQRT3 / max_samples
+    K = n_steps
+    hit = alive & (cursor >= 0)
+    t0 = cursor
+    t_end = jnp.where(hit, t_far, -jnp.inf)
+    t_k, dt_k, valid, ray_count, _, scan_end = _sv_scan(
+        rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
+        scale=scale, grid_size=grid_size, K=K, S=max_samples, lo=lo,
+        RI=n_intervals)
+    # lattice-aligned cursor: one step past the K-th sample when K were
+    # found, else the first lattice point at/after the scan horizon
+    t_last = jnp.max(jnp.where(valid, t_k, -jnp.inf), axis=1)
+    k_last = jnp.round((t_last - t0) / lo)
+    cur_full = t0 + (k_last + 1.0) * lo
+    cur_part = t0 + jnp.ceil(jnp.maximum(scan_end - t0, 0.0) / lo) * lo
+    new_cursor = jnp.where(ray_count >= K, cur_full, cur_part)
+    new_cursor = jnp.where(hit, new_cursor, cursor)
+    return t_k, dt_k, valid, new_cursor
 
 
 def march_rays_test_round_dense(

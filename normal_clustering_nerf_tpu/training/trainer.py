@@ -301,6 +301,8 @@ class Trainer:
                 self.model, self.state.params["model"],
                 self.state.occ.density_bitfield,
                 rays_o[i:i + chunk], rays_d[i:i + chunk], cfg.render,
+                sv_mask=self.state.occ.sv_mask,
+                sv_payload=self.state.occ.sv_payload,
             ))
         res = {}
         for k in outs[0]:

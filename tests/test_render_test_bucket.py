@@ -40,6 +40,8 @@ def _setup(rng, *, pred_heads=True, n_rays=37):
 
 
 def test_render_test_bucket_matches_flat(rng):
+    from normal_clustering_nerf_tpu.models.occupancy import supervoxel_tables
+
     model, params, bitfield, rays_o, rays_d = _setup(rng)
     rc_bucket = RenderConfig(test_layout="bucket", test_march_window=32,
                              test_n_samples=16)
@@ -49,13 +51,20 @@ def test_render_test_bucket_matches_flat(rng):
                         rc_bucket)
     out_f = render_test(model, params, bitfield, rays_o, rays_d,
                         rc_flat)
+    sv_mask, sv_payload = supervoxel_tables(bitfield, model.cfg.grid_size)
+    out_s = render_test(model, params, bitfield, rays_o, rays_d,
+                        rc_bucket, sv_mask=sv_mask, sv_payload=sv_payload)
 
     for k in ("rgb", "opacity", "depth", "norm_nn", "sem"):
         np.testing.assert_allclose(
             np.asarray(out_b[k]), np.asarray(out_f[k]), rtol=2e-4, atol=2e-5,
             err_msg=k)
-    # both schedules must composite the same effective sample set
+        np.testing.assert_allclose(
+            np.asarray(out_s[k]), np.asarray(out_f[k]), rtol=2e-4, atol=2e-5,
+            err_msg=f"sv {k}")
+    # all schedules must composite the same effective sample set
     assert int(out_b["total_samples"]) == int(out_f["total_samples"])
+    assert int(out_s["total_samples"]) == int(out_f["total_samples"])
 
 
 def test_render_test_bucket_converged_rays_stop(rng):
