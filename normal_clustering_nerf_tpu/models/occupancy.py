@@ -150,11 +150,19 @@ class OccupancyGrid:
         for c in range(self.cascades):
             k_u, k_o = keys[2 * c], keys[2 * c + 1]
             uniform_idx = jax.random.randint(k_u, (M,), 0, G3)
-            occ_w = (state.density_grid[c] > density_threshold).astype(jnp.float32)
-            occ_any = jnp.sum(occ_w) > 0
-            p = jnp.where(occ_any, occ_w, jnp.ones_like(occ_w))
-            p = p / jnp.sum(p)
-            occ_idx = jax.random.choice(k_o, G3, shape=(M,), replace=True, p=p)
+            occ = state.density_grid[c] > density_threshold
+            n_occ = jnp.sum(occ.astype(jnp.int32))
+            # uniform-over-occupied via compacted id list + randint:
+            # same distribution as choice(p=occ/sum) but without its
+            # inverse-CDF searchsorted (21 gather rounds over G^3)
+            pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+            occ_list = jnp.zeros((G3 + 1,), jnp.int32).at[
+                jnp.where(occ, pos, G3)].set(
+                    jnp.arange(G3, dtype=jnp.int32), mode="drop")[:G3]
+            r = jax.random.randint(k_o, (M,), 0, jnp.maximum(n_occ, 1))
+            occ_idx = jnp.where(n_occ > 0, occ_list[r],
+                                jax.random.randint(
+                                    jax.random.fold_in(k_o, 1), (M,), 0, G3))
             idx = jnp.concatenate([uniform_idx, occ_idx]).astype(jnp.int32)
             all_idx.append(idx)
             all_coords.append(self.cell_coords(idx))
