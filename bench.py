@@ -80,6 +80,13 @@ def run_steps(trainer, cfg, n, base_step=0):
     return metrics
 
 
+def sync(metrics):
+    """Force real completion: the axon backend's block_until_ready does
+    not block for queued dispatches; a scalar device->host fetch of a
+    value data-dependent on the whole step chain does."""
+    return float(metrics["psnr"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", type=str, default="")
@@ -105,20 +112,17 @@ def main():
     _log("warmup: compiling occupancy update + train step")
     warm = 300  # past the 256-step occupancy warmup boundary
     t_c0 = time.perf_counter()
-    run_steps(trainer, cfg, 1)
-    jax.block_until_ready(trainer.state.params)
+    sync(run_steps(trainer, cfg, 1))
     compile_s = time.perf_counter() - t_c0
     _log(f"first step (compile) {compile_s:.1f}s")
-    run_steps(trainer, cfg, warm - 1, base_step=1)
-    jax.block_until_ready(trainer.state.params)
-    _log(f"warmup done ({warm} steps)")
+    m = run_steps(trainer, cfg, warm - 1, base_step=1)
+    _log(f"warmup done ({warm} steps, psnr {sync(m):.2f})")
 
     n_steps = 200
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    run_steps(trainer, cfg, n_steps, base_step=warm)
-    jax.block_until_ready(trainer.state.params)
+    sync(run_steps(trainer, cfg, n_steps, base_step=warm))
     dt = time.perf_counter() - t0
     if args.profile:
         jax.profiler.stop_trace()
@@ -143,11 +147,9 @@ def main():
         tr1, cfg1 = build_trainer(batch, 1, args.compute_dtype,
                                   args.hash_layout)
         tr1.mark_invisible_cells()
-        run_steps(tr1, cfg1, warm)
-        jax.block_until_ready(tr1.state.params)
+        sync(run_steps(tr1, cfg1, warm))
         t0 = time.perf_counter()
-        run_steps(tr1, cfg1, n_steps, base_step=warm)
-        jax.block_until_ready(tr1.state.params)
+        sync(run_steps(tr1, cfg1, n_steps, base_step=warm))
         r1 = batch * n_steps / (time.perf_counter() - t0)
         out["scaling_efficiency"] = round(rays_per_s / (r1 * args.num_chips), 3)
         out["rays_per_s_per_chip"] = round(rays_per_s / args.num_chips, 1)
@@ -156,9 +158,9 @@ def main():
         # finish a real training run, then gate on held-out quality
         total = 2000
         _log(f"training to step {total} for the quality gate")
-        run_steps(trainer, cfg, total - warm - n_steps,
-                  base_step=warm + n_steps)
-        jax.block_until_ready(trainer.state.params)
+        m = run_steps(trainer, cfg, total - warm - n_steps,
+                      base_step=warm + n_steps)
+        _log(f"train psnr at {total}: {sync(m):.2f}")
         _log("rendering held-out views")
         scene = trainer.scene_test
         W, H = scene.img_wh

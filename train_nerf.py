@@ -72,8 +72,17 @@ def main(argv=None):
     logger = MetricLogger(log_dir, use_wandb=cfg.no_debug,
                           run_name=cfg.exp_name)
 
+    # jax.profiler trace hook (SURVEY.md §5.1): NCNERF_PROFILE_DIR=<dir>
+    # wraps fit in a trace; view with tensorboard/xprof
+    profile_dir = os.environ.get("NCNERF_PROFILE_DIR")
     if not cfg.eval.val_only:
+        import jax
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         trainer.fit(log_every=100 if cfg.no_debug else 10, logger=logger)
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
 
     metrics = trainer.validate(
         save_vis_dir=os.path.join(log_dir, "results")
