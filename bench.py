@@ -99,6 +99,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:  # persistent compile cache: repeat runs skip remote compiles
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     batch = args.batch
     trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype,

@@ -19,7 +19,7 @@ instead of 16:
     aliasing inherent to pure triplanes.
 
 Factorized plane representations match NGP quality on bounded indoor
-scenes (TensoRF, ECCV 2022; EG3D, CVPR 2022 — see PAPERS.md), and
+scenes (TensoRF, arXiv 2203.09517; EG3D, arXiv 2112.07945), and
 axis-aligned planes are a natural basis for Manhattan-world scenes,
 this framework's headline domain.
 

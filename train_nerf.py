@@ -19,6 +19,12 @@ def main(argv=None):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    try:  # persistent compile cache: repeat runs skip remote compiles
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     cfg = TrainConfig.from_args(argv)
     if not cfg.no_debug:
