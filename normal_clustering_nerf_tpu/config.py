@@ -106,6 +106,9 @@ class RenderConfig:
     # (0 = auto: max(2*K/4, 8)). Single-cascade scenes only.
     march_coarse: bool = True
     coarse_k_blocks: int = 0
+    # occupied supervoxel intervals scanned per ray/round by the sv-run
+    # march; K samples span ~1 supervoxel, so small values suffice
+    sv_intervals: int = 8
     max_march_iters: int = 4096        # safety bound on marching loop
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer

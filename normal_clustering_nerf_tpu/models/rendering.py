@@ -150,6 +150,7 @@ def render_train(
                 scale=cfg.scale, grid_size=cfg.grid_size,
                 max_samples=cfg.max_samples, samples_per_ray=K,
                 march_steps=rcfg.march_block,
+                n_intervals=rcfg.sv_intervals,
             )
         else:
             mr = march_rays_train_dense(
