@@ -32,7 +32,7 @@ def _log(msg):
 
 
 def build_trainer(batch, num_chips=1, compute_dtype="float32",
-                  hash_layout="brick"):
+                  hash_layout="brick", samples_per_ray=32, sv_intervals=8):
     from normal_clustering_nerf_tpu.config import (
         DataConfig, LossConfig, ModelConfig, OptimConfig, ParallelConfig,
         RenderConfig, TrainConfig,
@@ -47,7 +47,9 @@ def build_trainer(batch, num_chips=1, compute_dtype="float32",
             n_sem_cls=3, compute_dtype=compute_dtype,
             hash_layout=hash_layout,
         ),
-        render=RenderConfig(march_block=1024, sample_budget=batch * 32),
+        render=RenderConfig(march_block=1024,
+                            sample_budget=batch * samples_per_ray,
+                            sv_intervals=sv_intervals),
         loss=LossConfig(
             opacity_w=1e-3, distortion_w=1e-3,
             norm_D_C_ort_dot_w=0.1, norm_D_C_centr_dot_w=0.1,
@@ -69,14 +71,24 @@ def build_trainer(batch, num_chips=1, compute_dtype="float32",
 
 def run_steps(trainer, cfg, n, base_step=0):
     import jax
-    for step in range(base_step, base_step + n):
-        if step % cfg.optim.update_interval == 0:
+    interval = cfg.optim.update_interval
+    step, end = base_step, base_step + n
+    metrics = None
+    while step < end:
+        if step % interval == 0:
             k = jax.random.fold_in(jax.random.PRNGKey(7), step)
             occ = trainer._occ_update[step < cfg.optim.warmup_steps](
                 trainer.state.occ, trainer.state.params, k)
             trainer.state = trainer.state._replace(occ=occ)
-        trainer.state, metrics = trainer._train_step(
-            trainer.state, trainer.scene_dev)
+        if step % interval == 0 and step + interval <= end:
+            # fused scan over the whole inter-refresh span: one dispatch
+            trainer.state, metrics = trainer._train_chunk(
+                trainer.state, trainer.scene_dev)
+            step += interval
+        else:
+            trainer.state, metrics = trainer._train_step(
+                trainer.state, trainer.scene_dev)
+            step += 1
     return metrics
 
 
@@ -96,6 +108,8 @@ def main():
     ap.add_argument("--hash_layout", type=str, default="brick",
                     choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--samples_per_ray", type=int, default=32)
+    ap.add_argument("--sv_intervals", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -107,7 +121,8 @@ def main():
 
     batch = args.batch
     trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype,
-                                 args.hash_layout)
+                                 args.hash_layout, args.samples_per_ray,
+                                 args.sv_intervals)
     _log("marking invisible cells")
     trainer.mark_invisible_cells()
     jax.block_until_ready(trainer.state.occ.density_grid)
@@ -121,7 +136,9 @@ def main():
     compile_s = time.perf_counter() - t_c0
     _log(f"first step (compile) {compile_s:.1f}s")
     m = run_steps(trainer, cfg, warm - 1, base_step=1)
-    _log(f"warmup done ({warm} steps, psnr {sync(m):.2f})")
+    _log(f"warmup done ({warm} steps, psnr {sync(m):.2f}, "
+         f"rm/ray {float(m['rm_samples_per_ray']):.1f}, "
+         f"vr/ray {float(m['vr_samples_per_ray']):.1f})")
 
     n_steps = 200
     if args.profile:

@@ -36,12 +36,19 @@ def timeit(fn, *args, n=20, warmup=2):
 
 
 def main():
-    batch = 8192
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hash_layout", default="triplane")
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--batch", type=int, default=8192)
+    args = ap.parse_args()
+    batch = args.batch
     cfg = TrainConfig(
         model=ModelConfig(
             scale=0.5, grid_size=128, max_samples=1024,
             pred_norm_nn=True, pred_norm_depth=True, pred_sem=True,
-            n_sem_cls=3,
+            n_sem_cls=3, hash_layout=args.hash_layout,
+            compute_dtype=args.compute_dtype,
         ),
         render=RenderConfig(march_block=1024, sample_budget=batch * 32),
         loss=LossConfig(
@@ -89,11 +96,33 @@ def main():
 
     rays_o, rays_d = jax.jit(trainer._assemble_rays)(state.params, batch_idx, sc)
 
+    occ_kw = dict(coarse_occ=state.occ.coarse_occ,
+                  sv_mask=state.occ.sv_mask, sv_payload=state.occ.sv_payload)
+
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense_sv,
+    )
+    from normal_clustering_nerf_tpu.ops.ray_aabb import ray_aabb_intersect
+
+    @jax.jit
+    def march_only(bf_unused, sv_mask, sv_payload):
+        hits_t = ray_aabb_intersect(
+            rays_o, rays_d, jnp.zeros(3), jnp.full(3, cfg.model.scale))
+        noise = jax.random.uniform(k_render, (rays_o.shape[0],))
+        return march_rays_train_dense_sv(
+            rays_o, rays_d, hits_t, sv_mask, sv_payload, noise,
+            scale=cfg.model.scale, grid_size=cfg.model.grid_size,
+            max_samples=cfg.model.max_samples,
+            samples_per_ray=cfg.render.sample_budget // rays_o.shape[0],
+            march_steps=cfg.render.march_block,
+            n_intervals=cfg.render.sv_intervals)
+    print(f"sv march only         {timeit(march_only, state.occ.density_bitfield, state.occ.sv_mask, state.occ.sv_payload):8.2f} ms", flush=True)
+
     @jax.jit
     def render_fwd(params, bf):
         return render_train(model, params["model"], bf, rays_o, rays_d,
                             k_render, cfg.render, global_step=1000,
-                            depth_gt=target.get("depth"))
+                            depth_gt=target.get("depth"), **occ_kw)
     print(f"render fwd            {timeit(render_fwd, state.params, state.occ.density_bitfield):8.2f} ms", flush=True)
 
     @jax.jit
@@ -101,7 +130,7 @@ def main():
         def f(p):
             r = render_train(model, p["model"], bf, rays_o, rays_d,
                              k_render, cfg.render, global_step=1000,
-                             depth_gt=target.get("depth"))
+                             depth_gt=target.get("depth"), **occ_kw)
             return (jnp.sum(r["rgb"] ** 2) + jnp.sum(r["depth"] ** 2)
                     + jnp.sum(r["opacity"]) + jnp.sum(r["norm_nn"] ** 2)
                     + jnp.sum(r["sem"] ** 2))
@@ -126,7 +155,7 @@ def main():
         def f(p):
             r = render_train(model, p["model"], bf, rays_o, rays_d,
                              k_render, cfg.render, global_step=1000,
-                             depth_gt=target.get("depth"))
+                             depth_gt=target.get("depth"), **occ_kw)
             return compute_losses(
                 r, target, cfg.loss, model.cfg, step=1000, key=k_loss,
                 ray_sampling_strategy=cfg.data.ray_sampling_strategy,

@@ -59,6 +59,37 @@ def make_sharded_train_step(trainer, mesh, axis_name: str = "rays"):
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def make_sharded_train_chunk(trainer, mesh, n_steps: int,
+                             axis_name: str = "rays"):
+    """Like make_sharded_train_step, but scans `n_steps` optimization
+    steps inside one shard_mapped dispatch (the occupancy-refresh
+    interval is the natural chunk boundary)."""
+    n = mesh.devices.size
+    cfg = trainer.cfg
+    assert cfg.data.batch_size % n == 0
+    local_sampler = RaySampler(
+        cfg.data.ray_sampling_strategy,
+        cfg.data.batch_size // n,
+        trainer.scene_train.img_wh,
+        trainer.scene_train.n_images,
+        max_expand=cfg.data.triang_max_expand,
+        patch_size=cfg.data.patch_size,
+        n_random_poses=(
+            trainer.random_poses.shape[0]
+            if trainer.random_poses is not None else 0
+        ),
+    )
+    chunk_fn = trainer._make_chunk_fn(
+        n_steps, sampler=local_sampler, axis_name=axis_name)
+    sharded = shard_map(
+        chunk_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def make_sharded_occ_update(trainer, mesh, warmup: bool,
                             axis_name: str = "rays"):
     """Occupancy refresh where each chip samples different cells and the

@@ -117,6 +117,19 @@ class Trainer:
                 False: jax.jit(partial(self._occ_update_impl, warmup=False),
                                donate_argnums=(0,)),
             }
+        # Chunked dispatch: `update_interval` optimization steps fused
+        # into ONE jitted lax.scan call. On tunneled TPU backends each
+        # host dispatch costs ~ms of latency; scanning between occupancy
+        # refreshes removes it entirely (the occ cadence is the natural
+        # chunk boundary — train_nerf.py:314-320).
+        if self.mesh is not None:
+            from .distributed import make_sharded_train_chunk
+            self._train_chunk = make_sharded_train_chunk(
+                self, self.mesh, cfg.optim.update_interval)
+        else:
+            self._train_chunk = jax.jit(
+                self._make_chunk_fn(cfg.optim.update_interval),
+                donate_argnums=(0,))
         self.R_offset = self._build_R_offset()
 
     # ------------------------------------------------------------ R offset
@@ -184,6 +197,21 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState, scene: Dict):
         return self.train_step_core(state, scene, self.sampler)
+
+    def _make_chunk_fn(self, n_steps: int, sampler=None,
+                       axis_name: Optional[str] = None):
+        """n_steps optimization steps as one lax.scan (one dispatch);
+        returns (state, last-step metrics)."""
+        sampler = sampler or self.sampler
+
+        def chunk_fn(state: TrainState, scene: Dict):
+            def body(st, _):
+                return self.train_step_core(st, scene, sampler,
+                                            axis_name=axis_name)
+            state2, ms = jax.lax.scan(body, state, None, length=n_steps)
+            return state2, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return chunk_fn
 
     def train_step_core(self, state: TrainState, scene: Dict, sampler,
                         axis_name: Optional[str] = None):
@@ -263,18 +291,29 @@ class Trainer:
         self.mark_invisible_cells()
         t0 = time.time()
         metrics = {}
-        for step in range(int(self.state.step), total):
-            if step % cfg.optim.update_interval == 0:
+        interval = cfg.optim.update_interval
+        step = int(self.state.step)
+        last_log = step
+        while step < total:
+            if step % interval == 0:
                 warm = step < cfg.optim.warmup_steps
                 k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
                 occ = self._occ_update[warm](self.state.occ, self.state.params, k)
                 self.state = self.state._replace(occ=occ)
-            self.state, metrics = self._train_step(self.state, self.scene_dev)
-            if log_every and (step + 1) % log_every == 0:
+            if step % interval == 0 and step + interval <= total:
+                # full inter-refresh chunk: one fused scan dispatch
+                self.state, metrics = self._train_chunk(
+                    self.state, self.scene_dev)
+                step += interval
+            else:
+                self.state, metrics = self._train_step(self.state, self.scene_dev)
+                step += 1
+            if log_every and step - last_log >= log_every:
+                last_log = step
                 m = {k: float(v) for k, v in metrics.items()}
-                rate = (step + 1) / (time.time() - t0)
+                rate = step / max(time.time() - t0, 1e-9)
                 log_fn(
-                    f"step {step + 1}/{total} "
+                    f"step {step}/{total} "
                     f"loss={m.get('loss_total', float('nan')):.4f} "
                     f"psnr={m.get('psnr', float('nan')):.2f} "
                     f"rm/ray={m.get('rm_samples_per_ray', 0):.1f} "
@@ -282,7 +321,7 @@ class Trainer:
                     f"({rate:.1f} it/s)"
                 )
                 if logger is not None:
-                    logger.log_scalars(m, step + 1, prefix="train/")
+                    logger.log_scalars(m, step, prefix="train/")
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------- validate

@@ -151,3 +151,23 @@ def test_training_improves_psnr_triplane(scene):
     assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.0, (
         f"PSNR did not improve: {psnrs[:5]} ... {psnrs[-5:]}"
     )
+
+
+def test_chunked_scan_matches_single_steps(scene):
+    """The fused lax.scan chunk (one dispatch per occupancy interval)
+    must be bit-identical to `update_interval` individual train steps."""
+    cfg = _tiny_cfg()
+    tr_a = Trainer(cfg, scene)
+    tr_a.mark_invisible_cells()
+    tr_b = Trainer(cfg, scene)
+    tr_b.mark_invisible_cells()
+    s_chunk, m_chunk = tr_a._train_chunk(tr_a.state, tr_a.scene_dev)
+    state = tr_b.state
+    for _ in range(cfg.optim.update_interval):
+        state, m_single = tr_b._train_step(state, tr_b.scene_dev)
+    for a, b in zip(jax.tree_util.tree_leaves(s_chunk.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_chunk.step) == int(state.step)
+    np.testing.assert_allclose(
+        float(m_chunk["psnr"]), float(m_single["psnr"]), rtol=1e-6)
