@@ -80,14 +80,13 @@ def run_steps(trainer, cfg, n, base_step=0):
             occ = trainer._occ_update[step < cfg.optim.warmup_steps](
                 trainer.state.occ, trainer.state.params, k)
             trainer.state = trainer.state._replace(occ=occ)
+        step_fn, chunk_fn = trainer.step_fns(step)
         if step % interval == 0 and step + interval <= end:
             # fused scan over the whole inter-refresh span: one dispatch
-            trainer.state, metrics = trainer._train_chunk(
-                trainer.state, trainer.scene_dev)
+            trainer.state, metrics = chunk_fn(trainer.state, trainer.scene_dev)
             step += interval
         else:
-            trainer.state, metrics = trainer._train_step(
-                trainer.state, trainer.scene_dev)
+            trainer.state, metrics = step_fn(trainer.state, trainer.scene_dev)
             step += 1
     return metrics
 
@@ -130,7 +129,7 @@ def main():
     # warmup: let the occupancy grid converge so the march reflects
     # steady-state sparsity (as in real training)
     _log("warmup: compiling occupancy update + train step")
-    warm = 300  # past the 256-step occupancy warmup boundary
+    warm = 600  # past the occupancy warmup (256) and coarse bootstrap (512)
     t_c0 = time.perf_counter()
     sync(run_steps(trainer, cfg, 1))
     compile_s = time.perf_counter() - t_c0

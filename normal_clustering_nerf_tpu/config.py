@@ -119,6 +119,22 @@ class RenderConfig:
     # oracle (every round evaluates all rays).
     test_layout: str = "bucket"
     test_march_window: int = 128       # occupancy probe steps per round
+    # floor on samples/ray per bucket round (TPU: dispatch overhead
+    # dominates tiny rounds; see models/rendering.py bucket driver)
+    test_min_k: int = 32
+    # Coarse-step bootstrap: for the first `bootstrap_steps` train steps
+    # march with dt = sqrt(3)/bootstrap_max_samples (occupancy-cell-
+    # sized) so the per-ray sample cap spans the WHOLE ray. Without it,
+    # a fine-step march under a dense warmup occupancy grid confines
+    # every ray's K samples to the first few centimetres: far geometry
+    # never receives gradient, a view-dependent fog forms at the
+    # cameras, and the occupancy grid can never prune (a deadlock the
+    # reference avoids by marching unbounded samples/ray,
+    # models/csrc/raymarching.cu:166-332 — unaffordable as a static
+    # shape). Once the grid has pruned, the fine march's first-K
+    # samples start at the true surface and the cap is harmless.
+    bootstrap_steps: int = 512
+    bootstrap_max_samples: int = 128
     random_bg: bool = False
     anneal_strategy: str = "none"      # 'avoid_near' | 'depth' | 'none'
     anneal_steps: int = 0

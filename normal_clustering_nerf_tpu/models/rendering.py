@@ -110,12 +110,16 @@ def render_train(
     coarse_occ: Optional[jnp.ndarray] = None,
     sv_mask: Optional[jnp.ndarray] = None,
     sv_payload: Optional[jnp.ndarray] = None,
+    bootstrap: bool = False,
 ):
     """Differentiable train-time rendering of a ray batch.
 
     Mirrors reference models/rendering.py:153-242; returns the same
     result keys plus the compact-segment bookkeeping that replaces
     `rays_a`.
+
+    `bootstrap=True` selects the coarse-step full-probe march for early
+    training (see RenderConfig.bootstrap_steps).
     """
     cfg = model.cfg
     N = rays_o.shape[0]
@@ -141,10 +145,21 @@ def render_train(
         # scatter compaction, and compositing/distortion become plain
         # per-row cumulative ops.
         K = budget // N
-        use_sv = (rcfg.march_coarse and sv_mask is not None
+        use_sv = (not bootstrap and rcfg.march_coarse and sv_mask is not None
                   and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
                   and cfg.grid_size % 8 == 0)
-        if use_sv:
+        if bootstrap:
+            # coarse-step full-probe march: dt = sqrt(3)/S_boot spans
+            # the whole ray with K samples even under a dense grid
+            S_boot = min(rcfg.bootstrap_max_samples, cfg.max_samples)
+            mr = march_rays_train_dense(
+                rays_o, rays_d, hits_t, bitfield, noise,
+                cascades=cfg.cascades, scale=cfg.scale,
+                exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
+                max_samples=S_boot, samples_per_ray=K,
+                march_steps=S_boot,
+            )
+        elif use_sv:
             mr = march_rays_train_dense_sv(
                 rays_o, rays_d, hits_t, sv_mask, sv_payload, noise,
                 scale=cfg.scale, grid_size=cfg.grid_size,
@@ -412,11 +427,17 @@ def render_test(
 
     if rcfg.test_layout == "bucket":
         # Alive-compacted rounds: bucket size follows the live count so
-        # converged rays cost nothing; per-ray samples per round follow
+        # converged rays cost nothing. Per-ray samples per round follow
         # the reference's adaptive schedule
         # N_samples = max(min(N_rays//N_alive, 64), min_samples)
-        # (reference: models/rendering.py:77-84).
-        min_samples = 1 if cfg.exp_step_factor == 0 else 4
+        # (reference: models/rendering.py:77-84) but floored at
+        # rcfg.test_min_k: the reference's K=1 early rounds are tuned
+        # for a GPU where each round is one cheap kernel; on TPU a
+        # round has fixed dispatch + bucket-compaction overhead, so
+        # bigger rounds win (behind-surface overshoot is masked by the
+        # T-threshold in compositing and bounded by K per ray).
+        min_samples = max(1 if cfg.exp_step_factor == 0 else 4,
+                          rcfg.test_min_k)
         S_march = rcfg.test_march_window
         use_sv = (rcfg.march_coarse and sv_mask is not None
                   and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
@@ -447,8 +468,10 @@ def render_test(
         return results
 
     n_steps = rcfg.test_n_samples
-    # a round yields at most N*n_steps samples; never allocate beyond that
-    budget = min(rcfg.sample_budget or N * n_steps, N * n_steps)
+    # full per-round budget: rcfg.sample_budget is a TRAIN-time eval cap
+    # and must not clamp inference rounds (a starved budget silently
+    # drops samples and corrupts the composite)
+    budget = N * n_steps
     round_fn = _make_test_round_fn(
         cfg, rcfg.T_threshold, n_steps, budget, exposure is not None)
 
@@ -484,4 +507,7 @@ def render(model, params, bitfield, rays_o, rays_d, key, rcfg, test_time=False, 
         depth_gt=kw.get("depth_gt"),
         exposure=kw.get("exposure"),
         coarse_occ=kw.get("coarse_occ"),
+        sv_mask=kw.get("sv_mask"),
+        sv_payload=kw.get("sv_payload"),
+        bootstrap=kw.get("bootstrap", False),
     )

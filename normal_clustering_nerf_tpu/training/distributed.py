@@ -21,7 +21,8 @@ from ..datasets.sampler import RaySampler
 from ..models.occupancy import OccupancyGrid
 
 
-def make_sharded_train_step(trainer, mesh, axis_name: str = "rays"):
+def make_sharded_train_step(trainer, mesh, axis_name: str = "rays",
+                            bootstrap: bool = False):
     """Build a jitted shard_map step over `mesh` from a Trainer.
 
     State and scene are replicated; each chip draws batch_size/n_chips
@@ -47,7 +48,8 @@ def make_sharded_train_step(trainer, mesh, axis_name: str = "rays"):
 
     def body(state, scene):
         return trainer.train_step_core(
-            state, scene, local_sampler, axis_name=axis_name
+            state, scene, local_sampler, axis_name=axis_name,
+            bootstrap=bootstrap,
         )
 
     sharded = shard_map(
@@ -60,7 +62,8 @@ def make_sharded_train_step(trainer, mesh, axis_name: str = "rays"):
 
 
 def make_sharded_train_chunk(trainer, mesh, n_steps: int,
-                             axis_name: str = "rays"):
+                             axis_name: str = "rays",
+                             bootstrap: bool = False):
     """Like make_sharded_train_step, but scans `n_steps` optimization
     steps inside one shard_mapped dispatch (the occupancy-refresh
     interval is the natural chunk boundary)."""
@@ -80,7 +83,8 @@ def make_sharded_train_chunk(trainer, mesh, n_steps: int,
         ),
     )
     chunk_fn = trainer._make_chunk_fn(
-        n_steps, sampler=local_sampler, axis_name=axis_name)
+        n_steps, sampler=local_sampler, axis_name=axis_name,
+        bootstrap=bootstrap)
     sharded = shard_map(
         chunk_fn, mesh=mesh,
         in_specs=(P(), P()),

@@ -104,6 +104,8 @@ class Trainer:
             )
             self.mesh = make_mesh((n_chips,), cfg.parallel.mesh_axis_names)
             self._train_step = make_sharded_train_step(self, self.mesh)
+            self._train_step_boot = make_sharded_train_step(
+                self, self.mesh, bootstrap=True)
             self._occ_update = {
                 True: make_sharded_occ_update(self, self.mesh, warmup=True),
                 False: make_sharded_occ_update(self, self.mesh, warmup=False),
@@ -111,6 +113,9 @@ class Trainer:
         else:
             self._train_step = jax.jit(self._train_step_impl,
                                        donate_argnums=(0,))
+            self._train_step_boot = jax.jit(
+                partial(self._train_step_impl, bootstrap=True),
+                donate_argnums=(0,))
             self._occ_update = {
                 True: jax.jit(partial(self._occ_update_impl, warmup=True),
                               donate_argnums=(0,)),
@@ -126,11 +131,24 @@ class Trainer:
             from .distributed import make_sharded_train_chunk
             self._train_chunk = make_sharded_train_chunk(
                 self, self.mesh, cfg.optim.update_interval)
+            self._train_chunk_boot = make_sharded_train_chunk(
+                self, self.mesh, cfg.optim.update_interval, bootstrap=True)
         else:
             self._train_chunk = jax.jit(
                 self._make_chunk_fn(cfg.optim.update_interval),
                 donate_argnums=(0,))
+            self._train_chunk_boot = jax.jit(
+                self._make_chunk_fn(cfg.optim.update_interval,
+                                    bootstrap=True),
+                donate_argnums=(0,))
         self.R_offset = self._build_R_offset()
+
+    def step_fns(self, step: int):
+        """(step_fn, chunk_fn) for host step counter `step` — the coarse
+        bootstrap variants while step < render.bootstrap_steps."""
+        if step < self.cfg.render.bootstrap_steps:
+            return self._train_step_boot, self._train_chunk_boot
+        return self._train_step, self._train_chunk
 
     # ------------------------------------------------------------ R offset
     def _build_R_offset(self):
@@ -195,11 +213,14 @@ class Trainer:
             dirs = jnp.concatenate([dirs, dirs], axis=0)
         return get_rays(dirs, poses)
 
-    def _train_step_impl(self, state: TrainState, scene: Dict):
-        return self.train_step_core(state, scene, self.sampler)
+    def _train_step_impl(self, state: TrainState, scene: Dict,
+                         bootstrap: bool = False):
+        return self.train_step_core(state, scene, self.sampler,
+                                    bootstrap=bootstrap)
 
     def _make_chunk_fn(self, n_steps: int, sampler=None,
-                       axis_name: Optional[str] = None):
+                       axis_name: Optional[str] = None,
+                       bootstrap: bool = False):
         """n_steps optimization steps as one lax.scan (one dispatch);
         returns (state, last-step metrics)."""
         sampler = sampler or self.sampler
@@ -207,14 +228,16 @@ class Trainer:
         def chunk_fn(state: TrainState, scene: Dict):
             def body(st, _):
                 return self.train_step_core(st, scene, sampler,
-                                            axis_name=axis_name)
+                                            axis_name=axis_name,
+                                            bootstrap=bootstrap)
             state2, ms = jax.lax.scan(body, state, None, length=n_steps)
             return state2, jax.tree_util.tree_map(lambda x: x[-1], ms)
 
         return chunk_fn
 
     def train_step_core(self, state: TrainState, scene: Dict, sampler,
-                        axis_name: Optional[str] = None):
+                        axis_name: Optional[str] = None,
+                        bootstrap: bool = False):
         """One optimization step; with `axis_name` set (inside shard_map)
         each chip samples its own sub-batch and gradients are pmean-reduced
         (the TPU replacement for Lightning DDP's all-reduce,
@@ -244,6 +267,7 @@ class Trainer:
                 coarse_occ=state.occ.coarse_occ,
                 sv_mask=state.occ.sv_mask,
                 sv_payload=state.occ.sv_payload,
+                bootstrap=bootstrap,
             )
             loss_d = compute_losses(
                 results, target, cfg.loss, self.model.cfg,
@@ -300,13 +324,13 @@ class Trainer:
                 k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
                 occ = self._occ_update[warm](self.state.occ, self.state.params, k)
                 self.state = self.state._replace(occ=occ)
+            step_fn, chunk_fn = self.step_fns(step)
             if step % interval == 0 and step + interval <= total:
                 # full inter-refresh chunk: one fused scan dispatch
-                self.state, metrics = self._train_chunk(
-                    self.state, self.scene_dev)
+                self.state, metrics = chunk_fn(self.state, self.scene_dev)
                 step += interval
             else:
-                self.state, metrics = self._train_step(self.state, self.scene_dev)
+                self.state, metrics = step_fn(self.state, self.scene_dev)
                 step += 1
             if log_every and step - last_log >= log_every:
                 last_log = step
