@@ -137,7 +137,8 @@ def main():
     m = run_steps(trainer, cfg, warm - 1, base_step=1)
     _log(f"warmup done ({warm} steps, psnr {sync(m):.2f}, "
          f"rm/ray {float(m['rm_samples_per_ray']):.1f}, "
-         f"vr/ray {float(m['vr_samples_per_ray']):.1f})")
+         f"vr/ray {float(m['vr_samples_per_ray']):.1f}, "
+         f"trunc {float(m.get('trunc_ray_frac', 0)):.4f})")
 
     n_steps = 200
     if args.profile:
@@ -166,7 +167,8 @@ def main():
         # batch (BASELINE target: >=85% from 1 chip to 2 hosts)
         _log("single-chip reference run for scaling efficiency")
         tr1, cfg1 = build_trainer(batch, 1, args.compute_dtype,
-                                  args.hash_layout)
+                                  args.hash_layout, args.samples_per_ray,
+                                  args.sv_intervals)
         tr1.mark_invisible_cells()
         sync(run_steps(tr1, cfg1, warm))
         t0 = time.perf_counter()

@@ -124,7 +124,9 @@ class RenderConfig:
     test_min_k: int = 32
     # Coarse-step bootstrap: for the first `bootstrap_steps` train steps
     # march with dt = sqrt(3)/bootstrap_max_samples (occupancy-cell-
-    # sized) so the per-ray sample cap spans the WHOLE ray. Without it,
+    # sized) so the K-sample probe window covers K/S_boot of the ray
+    # span (~25% of the cube diagonal at K=32, S_boot=128 — a much
+    # wider reach than the fine march's K/1024). Without it,
     # a fine-step march under a dense warmup occupancy grid confines
     # every ray's K samples to the first few centimetres: far geometry
     # never receives gradient, a view-dependent fog forms at the

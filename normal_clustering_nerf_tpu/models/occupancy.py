@@ -72,8 +72,8 @@ def supervoxel_tables(bitfield: jnp.ndarray, grid_size: int):
     (zc*Gc + yc)*Gc + xc, matching the fine [z, y, x]-linear layout)
     packs its 8^3 fine occupancy bits into 32 int32 lanes holding
     16-bit words: local cell (lx, ly, lz) is bit L = (lz*8+ly)*8+lx,
-    stored at lane L>>4, bit L&15. 16-bit words keep the float-exact
-    bit-extraction trick (floor(word * 2^-b) mod 2) inside f32 range.
+    stored at lane L>>4, bit L&15 (extracted with an integer vector
+    shift in ops/ray_march.py — exact, unlike float exp2 tricks).
     sv_mask is the UNdilated per-supervoxel any-bit mask.
     """
     G = grid_size

@@ -262,6 +262,13 @@ class DenseMarchResult(NamedTuple):
     valid: jnp.ndarray      # (N, K) bool
     ray_count: jnp.ndarray  # (N,) int32 samples per ray
     rm_samples: jnp.ndarray  # () int32 total marched samples (pre-cap)
+    # () int32: rays whose sample set was TRUNCATED by a bounded
+    # enumeration budget (sv_intervals / coarse_k_blocks) before the
+    # per-ray K cap was reached — i.e. rays that would have received
+    # more samples under the unbounded reference enumeration
+    # (raymarching.cu:166-332). Zero for exact layouts. Exposed so the
+    # silent-cap bias that poisons training is visible in step metrics.
+    trunc_rays: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def select_first_k(include, k: int):
@@ -364,6 +371,7 @@ def march_rays_train_dense(
     )  # (N, S)
     in_range_fn = lambda t: (t1 >= 0)[:, None] & (t < t2[:, None])
 
+    n_cand_extra = None
     if coarse_occ is not None and cascades == 1 and S % COARSE_BLOCK == 0:
         BS = COARSE_BLOCK
         KB = min(coarse_k_blocks or max(2 * K // BS, 8), S // BS)
@@ -373,6 +381,8 @@ def march_rays_train_dense(
         cand = coarse_lookup(xyz_c, coarse_occ, scale=scale,
                              grid_size=grid_size) & in_range_fn(tgc)
         bidx, bval = select_first_k(cand, KB)              # (N, KB)
+        # candidate blocks beyond the KB budget -> potential truncation
+        n_cand_extra = jnp.sum(cand, axis=-1) - jnp.sum(bval, axis=-1)
         cols = (bidx[:, :, None] * BS
                 + jnp.arange(BS, dtype=jnp.int32)[None, None, :]
                 ).reshape(N, KB * BS)
@@ -397,8 +407,16 @@ def march_rays_train_dense(
     t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)
     dt_k = jnp.where(valid, jnp.take_along_axis(dtg, idx, axis=1), 0.0)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    if n_cand_extra is None:
+        trunc = jnp.zeros((), jnp.int32)   # exact enumeration, no cap
+    else:
+        # under-filled rays with candidate blocks left beyond the
+        # coarse_k_blocks budget: the unbounded reference march would
+        # have given them more samples
+        trunc = jnp.sum((ray_count < K) & (n_cand_extra > 0)).astype(jnp.int32)
     return DenseMarchResult(
-        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
+        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count,
+        rm_samples=rm_samples, trunc_rays=trunc,
     )
 
 
@@ -430,8 +448,8 @@ def march_rays_train_dense_sv(
       3. for the first `n_intervals` occupied intervals, ONE row
          gather fetches the supervoxel's full 512-bit fine occupancy
          payload (models/occupancy.py supervoxel_tables); per-step bit
-         extraction is then pure VPU math (one-hot word select + the
-         float-exact floor(word * 2^-b) mod 2 trick — no gathers).
+         extraction is then pure VPU math (one-hot word select + an
+         integer vector shift — no gathers).
 
     Exactness: produces the identical sample set to
     `march_rays_train_dense` (parity-tested) unless a ray's first K
@@ -447,11 +465,15 @@ def march_rays_train_dense_sv(
     hit = t1 >= 0
     t0 = t1 + lo * noise
     t_end = jnp.where(hit, jnp.minimum(t2, t0 + S * lo), -jnp.inf)
-    t_k, dt_k, valid, ray_count, rm_samples, _ = _sv_scan(
+    t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra = _sv_scan(
         rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
         scale=scale, grid_size=grid_size, K=K, S=S, lo=lo, RI=n_intervals)
+    # under-filled rays with occupied runs left beyond the sv_intervals
+    # budget: the unbounded reference march would have sampled them
+    trunc = jnp.sum(hit & (ray_count < K) & (iv_extra > 0)).astype(jnp.int32)
     return DenseMarchResult(
-        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count, rm_samples=rm_samples
+        t=t_k, dt=dt_k, valid=valid, ray_count=ray_count,
+        rm_samples=rm_samples, trunc_rays=trunc,
     )
 
 
@@ -459,10 +481,12 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
              scale, grid_size, K, S, lo, RI):
     """Core supervoxel-run scan (see march_rays_train_dense_sv).
 
-    Returns (t_k (N,K), dt_k, valid, ray_count, rm_samples, scan_end)
-    where scan_end is the per-ray horizon up to which the scan provably
-    enumerated every occupied sample (t_end, or the end of the RI-th
-    occupied interval when the interval budget was exhausted).
+    Returns (t_k (N,K), dt_k, valid, ray_count, rm_samples, scan_end,
+    iv_extra) where scan_end is the per-ray horizon up to which the scan
+    provably enumerated every occupied sample (t_end, or the end of the
+    RI-th occupied interval when the interval budget was exhausted) and
+    iv_extra (N,) counts occupied intervals beyond the RI budget (> 0
+    means the scan skipped occupied supervoxel runs).
     """
     N = rays_o.shape[0]
     G = grid_size
@@ -493,15 +517,23 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     sv_id = (svc[2] * Gc + svc[1]) * Gc + svc[0]              # (N, NB)
     occ_iv = (sv_mask[sv_id] > 0) & iv_valid
     # a ray enters each supervoxel once; duplicate-sv intervals only
-    # arise from degenerate corner crossings and are always adjacent
-    occ_iv = occ_iv & ((sv_id != jnp.roll(sv_id, 1, axis=1))
+    # arise from degenerate corner crossings and are always adjacent.
+    # Invalid (sliver/padding) intervals get a sentinel id so they can
+    # never shadow the REAL interval that follows them (their midpoint
+    # position is garbage — computed at t=0, i.e. the ray origin, whose
+    # supervoxel can coincide with the next interval's and silently
+    # dropped whole occupied runs at production scale).
+    sv_id_cmp = jnp.where(iv_valid, sv_id, -1)
+    occ_iv = occ_iv & ((sv_id_cmp != jnp.roll(sv_id_cmp, 1, axis=1))
                        | (jnp.arange(sv_id.shape[1]) == 0)[None, :])
 
     iidx, ivalid = select_first_k(occ_iv, min(RI, occ_iv.shape[1]))
     RI = iidx.shape[1]
+    # occupied intervals beyond the RI budget (0 = exact enumeration)
+    iv_extra = jnp.sum(occ_iv, axis=-1) - jnp.sum(ivalid, axis=-1)
     ts_r = jnp.take_along_axis(b0, iidx, axis=1)              # (N, RI)
     svid_r = jnp.take_along_axis(sv_id, iidx, axis=1)
-    payload = sv_payload[svid_r].astype(jnp.float32)          # (N, RI, 32)
+    payload = sv_payload[svid_r]                              # (N, RI, 32) int32
     szc = svid_r // (Gc * Gc)
     syc = (svid_r // Gc) % Gc
     sxc = svid_r % Gc
@@ -524,21 +556,28 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     loc = []
     for a, svc_sel in ((0, sxc), (1, syc), (2, szc)):
         pos_a = rays_o[:, a, None, None] + tt * rays_d[:, a, None, None]
-        cell_a = jnp.clip(jnp.floor((pos_a + mb) / (2 * mb) * G), 0, G - 1
+        # EXACTLY occupancy_lookup's cell formula (op order included):
+        # any float-rounding difference at cell boundaries makes the sv
+        # march disagree with the bitfield march on boundary samples
+        cell_a = jnp.clip(0.5 * (pos_a / mb + 1.0) * G, 0.0, G - 1.0
                           ).astype(jnp.int32)
         own = own & ((cell_a >> 3) == svc_sel[:, :, None])
         loc.append(cell_a - 8 * svc_sel[:, :, None])          # local [0,8)
     lx, ly, lz = loc
     L = (lz * 8 + ly) * 8 + lx                                # [0, 512)
     w_idx = L >> 4
-    b_idx = (L & 15).astype(jnp.float32)
+    b_idx = L & 15
 
     lanes = jnp.arange(32, dtype=jnp.int32)
-    onehot = (w_idx[..., None] == lanes).astype(jnp.float32)  # (N,RI,SI,32)
+    onehot = (w_idx[..., None] == lanes).astype(jnp.int32)    # (N,RI,SI,32)
     word = jnp.sum(payload[:, :, None, :] * onehot, axis=-1)  # (N,RI,SI)
-    # float-exact bit extraction: word < 2^16, 2^-b exact powers of two
-    bit = jnp.floor(word * jnp.exp2(-b_idx)) % 2.0
-    include = (bit > 0.5) & own
+    # integer bit extraction (vector shift on the VPU, no gathers).
+    # NB: the previous floor(word * exp2(-b)) % 2 float trick was NOT
+    # exact — XLA lowers exp2 to a polynomial approximation that can be
+    # 1 ulp off, flipping bits (measured: dropped/phantom samples on
+    # ~4% of rays at G=128)
+    bit = (word >> b_idx) & 1
+    include = (bit > 0) & own
 
     incf = include.reshape(N, RI * SI)
     ttf = tt.reshape(N, RI * SI)
@@ -549,7 +588,7 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
-    return t_k, dt_k, valid, ray_count, rm_samples, scan_end
+    return t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra
 
 
 def march_rays_test_round_sv(
@@ -584,7 +623,7 @@ def march_rays_test_round_sv(
     hit = alive & (cursor >= 0)
     t0 = cursor
     t_end = jnp.where(hit, t_far, -jnp.inf)
-    t_k, dt_k, valid, ray_count, _, scan_end = _sv_scan(
+    t_k, dt_k, valid, ray_count, _, scan_end, _ = _sv_scan(
         rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
         scale=scale, grid_size=grid_size, K=K, S=max_samples, lo=lo,
         RI=n_intervals)

@@ -58,6 +58,14 @@ class Trainer:
         self.cfg = cfg
         self.scene_train = scene_train
         self.scene_test = scene_test
+        # step_fns picks the bootstrap variant from a chunk's START step,
+        # so the bootstrap boundary must fall on a chunk boundary or a
+        # full-interval chunk would silently overrun it
+        if cfg.render.bootstrap_steps % cfg.optim.update_interval != 0:
+            raise ValueError(
+                f"render.bootstrap_steps ({cfg.render.bootstrap_steps}) must "
+                f"be a multiple of optim.update_interval "
+                f"({cfg.optim.update_interval})")
         need_pos_grad = cfg.optim.optimize_ext or cfg.optim.lr_dR_norm_glob > 0
         self.model = NGPMT(cfg.model, need_pos_grad=need_pos_grad)
         self.occ_grid = OccupancyGrid(cfg.model)
@@ -281,6 +289,8 @@ class Trainer:
             aux = {
                 "loss_d": loss_d,
                 "rm_samples": results["rm_samples"].astype(jnp.float32),
+                "trunc_rays": results.get(
+                    "trunc_rays", jnp.zeros((), jnp.int32)).astype(jnp.float32),
                 "vr_samples": results["vr_samples"].astype(jnp.float32),
                 "mse": jnp.mean(
                     (results["rgb"][: target["rgb"].shape[0]] - target["rgb"]) ** 2
@@ -304,6 +314,10 @@ class Trainer:
             "psnr": -10.0 * jnp.log10(jnp.maximum(aux["mse"], 1e-12)),
             "rm_samples_per_ray": aux["rm_samples"] / local_bs,
             "vr_samples_per_ray": aux["vr_samples"] / local_bs,
+            # fraction of rays whose sample set the bounded sv/coarse
+            # march TRUNCATED this step (no-silent-caps guard; 0 when
+            # the march is exact — see ops/ray_march.py trunc_rays)
+            "trunc_ray_frac": aux["trunc_rays"] / local_bs,
         }
         metrics.update({f"loss_{k}": v for k, v in aux["loss_d"].items()})
         return new_state, metrics
@@ -342,6 +356,7 @@ class Trainer:
                     f"psnr={m.get('psnr', float('nan')):.2f} "
                     f"rm/ray={m.get('rm_samples_per_ray', 0):.1f} "
                     f"vr/ray={m.get('vr_samples_per_ray', 0):.1f} "
+                    f"trunc={m.get('trunc_ray_frac', 0):.4f} "
                     f"({rate:.1f} it/s)"
                 )
                 if logger is not None:
