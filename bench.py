@@ -32,7 +32,7 @@ def _log(msg):
 
 
 def build_trainer(batch, num_chips=1, compute_dtype="float32",
-                  hash_layout="brick", samples_per_ray=32, sv_intervals=8):
+                  hash_layout="brick", samples_per_ray=32, sv_intervals=0):
     from normal_clustering_nerf_tpu.config import (
         DataConfig, LossConfig, ModelConfig, OptimConfig, ParallelConfig,
         RenderConfig, TrainConfig,
@@ -108,7 +108,7 @@ def main():
                     choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--samples_per_ray", type=int, default=32)
-    ap.add_argument("--sv_intervals", type=int, default=8)
+    ap.add_argument("--sv_intervals", type=int, default=0)
     args = ap.parse_args()
 
     import jax

@@ -29,11 +29,17 @@ def main():
     ap.add_argument("--hash_layout", type=str, default="brick")
     ap.add_argument("--compute_dtype", type=str, default="float32")
     ap.add_argument("--samples_per_ray", type=int, default=32)
-    ap.add_argument("--sv_intervals", type=int, default=8)
+    ap.add_argument("--sv_intervals", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--img", type=int, default=128)
     ap.add_argument("--distortion_w", type=float, default=1e-3)
+    ap.add_argument("--cluster_w", type=float, default=0.1,
+                    help="weight for the norm_D_C_* clustering losses")
+    ap.add_argument("--sem_w", type=float, default=0.04)
+    ap.add_argument("--opacity_w", type=float, default=1e-3)
     ap.add_argument("--march_coarse", type=int, default=1)
+    ap.add_argument("--no_dir", action="store_true",
+                    help="Lambertian rgb head (rgb_use_dir=False)")
     ap.add_argument("--test_layouts", type=str, default="bucket")
     ap.add_argument("--n_test_train_views", type=int, default=2,
                     help="how many TRAIN views to also render for the gap")
@@ -60,21 +66,26 @@ def main():
             pred_norm_nn=True, pred_norm_depth=True, pred_sem=True,
             n_sem_cls=3, compute_dtype=args.compute_dtype,
             hash_layout=args.hash_layout,
+            rgb_use_dir=not args.no_dir,
         ),
         render=RenderConfig(march_block=1024,
                             sample_budget=args.batch * args.samples_per_ray,
                             sv_intervals=args.sv_intervals,
                             march_coarse=bool(args.march_coarse)),
         loss=LossConfig(
-            opacity_w=1e-3, distortion_w=args.distortion_w,
-            norm_D_C_ort_dot_w=0.1, norm_D_C_centr_dot_w=0.1,
-            norm_D_C_centr_L1_w=0.1, norm_can_tres=0.3,
-            sem_w=0.04,
+            opacity_w=args.opacity_w, distortion_w=args.distortion_w,
+            norm_D_C_ort_dot_w=args.cluster_w,
+            norm_D_C_centr_dot_w=args.cluster_w,
+            norm_D_C_centr_L1_w=args.cluster_w,
+            norm_can_tres=0.3 if args.cluster_w else 0.0,
+            sem_w=args.sem_w,
         ),
         data=DataConfig(batch_size=args.batch,
                         ray_sampling_strategy="all_images_triang"),
-        optim=OptimConfig(lr=args.lr, num_epochs=1,
-                          steps_per_epoch=args.steps),
+        # 4 cosine-annealed epochs like the reference schedule
+        # (train_nerf.py:287-291, opt.py num_epochs=4)
+        optim=OptimConfig(lr=args.lr, num_epochs=4,
+                          steps_per_epoch=max(args.steps // 4, 1)),
     )
     scene_tr = SyntheticDataset(split="train", img_wh=(args.img, args.img),
                                 n_images=args.n_images).load()

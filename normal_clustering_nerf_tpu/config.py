@@ -54,6 +54,11 @@ class ModelConfig:
     rgb_hidden_layers: int = 2
     head_hidden_layers: int = 2
     geo_feat_dim: int = 16
+    # Feed the view direction to the rgb head (reference behavior,
+    # ngp_mt.py:207-209). False = Lambertian radiance c(x): kills the
+    # view-dependent-color escape hatch that lets volumetric mist fit
+    # the train views exactly on direction-sparse captures.
+    rgb_use_dir: bool = True
     # numerics
     compute_dtype: str = "float32"   # "bfloat16" for MXU-friendly compute
     param_dtype: str = "float32"
@@ -106,9 +111,27 @@ class RenderConfig:
     # (0 = auto: max(2*K/4, 8)). Single-cascade scenes only.
     march_coarse: bool = True
     coarse_k_blocks: int = 0
-    # occupied supervoxel intervals scanned per ray/round by the sv-run
-    # march; K samples span ~1 supervoxel, so small values suffice
-    sv_intervals: int = 8
+    # occupied supervoxel intervals scanned per ray by the sv-run
+    # march. 0 (default) = auto-FULL: ceil(sqrt(3)*G/8)+2, enough for a
+    # cube-diagonal ray, so the enumeration horizon can never truncate
+    # (a shorter horizon silently starved distal geometry of gradient
+    # under a dense early-training grid — trunc_ray_frac 0.78 — and
+    # forced near-field billboard memorization; round-3 diagnosis).
+    # Positive values bound the horizon explicitly (perf experiments);
+    # trunc_ray_frac in step metrics reports any resulting truncation.
+    sv_intervals: int = 0
+    # Budgeted-sample allocation (ops/ray_march.py stratified_budget):
+    # -1 (default) = FULL stratified — all K train samples are evenly
+    # strided (by occupied rank) over the ray's whole occupied extent,
+    # dt scaled by the stride; degenerates to the exact reference
+    # enumeration once a ray's occupied count fits K. 0 = pure first-K
+    # cap. k>0 = first K-k samples verbatim + k strided tail.
+    # Why not first-K: proximal bias lets per-camera fog billboards
+    # capture the entire budget and memorize train views (round-3
+    # diagnosis: train 28 dB / held-out 17 dB, predicted depth ~0; a
+    # small tail was measured insufficient — fog still won the
+    # gradient race at K1=24/tail 8).
+    march_tail_k: int = -1
     max_march_iters: int = 4096        # safety bound on marching loop
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer

@@ -183,6 +183,8 @@ class NGPMT:
         """
         sigmas, h = self.density(params, x, return_feat=True)
         d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        if not self.cfg.rgb_use_dir:
+            d = d * 0.0   # Lambertian mode (see ModelConfig.rgb_use_dir)
         rgb_in = jnp.concatenate([d.astype(h.dtype), h], axis=1)
         rgbs = _apply_mlp(
             params["rgb_net"], rgb_in,

@@ -138,6 +138,8 @@ def render_train(
 
     budget = rcfg.sample_budget or N * 32
     noise = jax.random.uniform(k_noise, (N,))
+    # -1 = full stratified budget (tail spans the whole allocation)
+    tail_k = (budget // N) if rcfg.march_tail_k < 0 else rcfg.march_tail_k
     if rcfg.march_layout == "dense":
         # Fast path: per-ray dense (N, K) sample layout. Same sample set
         # as the flat path with per_ray_cap = K (the training config),
@@ -157,7 +159,7 @@ def render_train(
                 cascades=cfg.cascades, scale=cfg.scale,
                 exp_step_factor=cfg.exp_step_factor, grid_size=cfg.grid_size,
                 max_samples=S_boot, samples_per_ray=K,
-                march_steps=S_boot,
+                march_steps=S_boot, tail_k=tail_k,
             )
         elif use_sv:
             mr = march_rays_train_dense_sv(
@@ -166,6 +168,7 @@ def render_train(
                 max_samples=cfg.max_samples, samples_per_ray=K,
                 march_steps=rcfg.march_block,
                 n_intervals=rcfg.sv_intervals,
+                tail_k=tail_k,
             )
         else:
             mr = march_rays_train_dense(
@@ -176,6 +179,7 @@ def render_train(
                 march_steps=rcfg.march_block,
                 coarse_occ=coarse_occ if rcfg.march_coarse else None,
                 coarse_k_blocks=rcfg.coarse_k_blocks,
+                tail_k=tail_k,
             )
         # t is a constant of the geometry (the reference likewise saves
         # ts and only backprops xyz->rays, custom_functions.py:102-112)

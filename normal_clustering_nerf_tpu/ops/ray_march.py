@@ -288,6 +288,39 @@ def select_first_k(include, k: int):
     return idx.astype(jnp.int32), v > 0
 
 
+def stratified_budget(include, K: int, tail_k: int):
+    """Per-row sample selection under a K budget with a coverage tail.
+
+    The first ``K - tail_k`` occupied steps are taken verbatim; the
+    remaining ``tail_k`` slots are spread evenly (by occupied rank) over
+    the REST of the ray, each representing ``stride`` occupied steps.
+    Exact (== first-K) whenever a ray's occupied count fits the budget
+    (stride degenerates to 1).
+
+    Why: a pure first-K cap starves distal geometry of gradient whenever
+    proximal occupancy exists — e.g. view-dependent fog billboards form
+    in front of each training camera, consume the whole budget, and
+    self-reinforce (measured: train-view 28 dB / held-out 17 dB with
+    near-zero predicted depth). The unbounded reference march
+    (raymarching.cu:166-332) always reaches distal samples; the tail
+    restores that coverage guarantee at fixed cost.
+
+    Returns (sel (N,S) bool, scaled (N,S) bool, stride (N,1) int32):
+    ``scaled`` marks tail samples whose dt must be multiplied by
+    ``stride`` so transmittance still integrates the represented span.
+    """
+    cnt = jnp.cumsum(include.astype(jnp.int32), axis=-1)
+    if tail_k <= 0:
+        return (include & (cnt <= K), jnp.zeros_like(include),
+                jnp.ones_like(cnt[:, :1]))
+    K1 = max(K - tail_k, 0)
+    M = cnt[:, -1:]
+    stride = jnp.maximum((M - K1 + tail_k - 1) // tail_k, 1)
+    pool1 = include & (cnt <= K1)
+    pool2 = include & (cnt > K1) & ((cnt - K1 - 1) % stride == 0)
+    return pool1 | pool2, pool2 & (stride > 1), stride
+
+
 def coarse_lookup(xyz, coarse_occ, *, scale, grid_size):
     """Dilated supervoxel occupancy probe (cascade 0 only).
 
@@ -330,6 +363,7 @@ def march_rays_train_dense(
     march_steps: int = 0,
     coarse_occ=None,
     coarse_k_blocks: int = 0,
+    tail_k: int = 0,
 ) -> DenseMarchResult:
     """March all rays into a dense (N, K) per-ray sample layout.
 
@@ -398,14 +432,18 @@ def march_rays_train_dense(
         xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
     )
     include = occ & gate & in_range_fn(tg)
-    # first-K per-ray cap applied before counting, matching the flat
-    # path's per_ray_cap semantics (rm_samples counts capped samples)
-    cnt = jnp.cumsum(include.astype(jnp.int32), axis=-1)
-    rm_samples = jnp.sum(include & (cnt <= K))
+    # budgeted selection: first-K cap, optionally with a strided
+    # coverage tail (tail_k > 0) so distal occupied samples keep
+    # receiving gradient when proximal occupancy would exhaust K
+    sel, scaled, stride = stratified_budget(include, K, tail_k)
+    rm_samples = jnp.sum(sel)
 
-    idx, valid = select_first_k(include, min(K, include.shape[1]))
+    idx, valid = select_first_k(sel, min(K, include.shape[1]))
     t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)
     dt_k = jnp.where(valid, jnp.take_along_axis(dtg, idx, axis=1), 0.0)
+    if tail_k > 0:
+        sc_k = jnp.take_along_axis(scaled, idx, axis=1)
+        dt_k = jnp.where(sc_k, dt_k * stride.astype(dt_k.dtype), dt_k)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
     if n_cand_extra is None:
         trunc = jnp.zeros((), jnp.int32)   # exact enumeration, no cap
@@ -434,6 +472,7 @@ def march_rays_train_dense_sv(
     samples_per_ray: int,
     march_steps: int = 0,
     n_intervals: int = 8,
+    tail_k: int = 0,
 ) -> DenseMarchResult:
     """Supervoxel-run march — the uniform-step single-cascade fast path.
 
@@ -461,13 +500,21 @@ def march_rays_train_dense_sv(
     lo = SQRT3 / max_samples
     S = march_steps or max_samples
     K = min(samples_per_ray, S)
+    if n_intervals <= 0:
+        # auto-full horizon: a cube-diagonal ray crosses at most
+        # ceil(sqrt(3) * Gc) supervoxels, so truncation is IMPOSSIBLE
+        # by construction (the silent-horizon cap starved distal
+        # geometry of gradient and forced billboard memorization —
+        # round-3 diagnosis, trunc_ray_frac 0.78 under a dense grid)
+        n_intervals = int(SQRT3 * (grid_size // 8)) + 2
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
     hit = t1 >= 0
     t0 = t1 + lo * noise
     t_end = jnp.where(hit, jnp.minimum(t2, t0 + S * lo), -jnp.inf)
     t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra = _sv_scan(
         rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
-        scale=scale, grid_size=grid_size, K=K, S=S, lo=lo, RI=n_intervals)
+        scale=scale, grid_size=grid_size, K=K, S=S, lo=lo, RI=n_intervals,
+        tail_k=tail_k)
     # under-filled rays with occupied runs left beyond the sv_intervals
     # budget: the unbounded reference march would have sampled them
     trunc = jnp.sum(hit & (ray_count < K) & (iv_extra > 0)).astype(jnp.int32)
@@ -478,7 +525,7 @@ def march_rays_train_dense_sv(
 
 
 def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
-             scale, grid_size, K, S, lo, RI):
+             scale, grid_size, K, S, lo, RI, tail_k: int = 0):
     """Core supervoxel-run scan (see march_rays_train_dense_sv).
 
     Returns (t_k (N,K), dt_k, valid, ray_count, rm_samples, scan_end,
@@ -581,12 +628,15 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
 
     incf = include.reshape(N, RI * SI)
     ttf = tt.reshape(N, RI * SI)
-    cnt = jnp.cumsum(incf.astype(jnp.int32), axis=-1)
-    rm_samples = jnp.sum(incf & (cnt <= K))
+    sel, scaled, stride = stratified_budget(incf, K, tail_k)
+    rm_samples = jnp.sum(sel)
 
-    sidx, valid = select_first_k(incf, min(K, RI * SI))
+    sidx, valid = select_first_k(sel, min(K, RI * SI))
     t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
+    if tail_k > 0:
+        sc_k = jnp.take_along_axis(scaled, sidx, axis=1)
+        dt_k = jnp.where(sc_k, dt_k * stride.astype(dt_k.dtype), dt_k)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
     return t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra
 

@@ -309,3 +309,84 @@ def test_sv_march_matches_exact(rng):
             rtol=1e-6, atol=1e-7, err_msg=f"ray {r}")
     np.testing.assert_allclose(
         np.asarray(svr.dt)[s_v], np.asarray(exact.dt)[e_v], rtol=1e-6)
+
+
+def test_stratified_budget_exact_when_under_cap():
+    """tail_k selection must equal plain first-K when M <= K."""
+    from normal_clustering_nerf_tpu.ops.ray_march import stratified_budget
+
+    inc = jnp.asarray(np.array([
+        [1, 0, 1, 1, 0, 0, 1, 0],   # M=4 <= K=6
+        [0, 0, 0, 0, 0, 0, 0, 0],   # empty
+    ], bool))
+    sel, scaled, stride = stratified_budget(inc, 6, 2)
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(inc))
+    assert not np.asarray(scaled).any()
+    np.testing.assert_array_equal(np.asarray(stride).ravel(), [1, 1])
+
+
+def test_stratified_budget_covers_distal():
+    """With M >> K, the tail must sample to the END of the ray and the
+    scaled dt flags must account for the skipped occupied steps."""
+    from normal_clustering_nerf_tpu.ops.ray_march import stratified_budget
+
+    S, K, TK = 256, 32, 8
+    inc = jnp.ones((1, S), bool)      # fully occupied (fog scenario)
+    sel, scaled, stride = stratified_budget(inc, K, TK)
+    sel_np = np.asarray(sel)[0]
+    assert sel_np.sum() <= K
+    # head pool: first K-TK samples verbatim
+    assert sel_np[: K - TK].all()
+    # tail reaches the distal end: last selected sample within one
+    # stride of the final occupied step
+    st = int(np.asarray(stride)[0, 0])
+    last = np.where(sel_np)[0][-1]
+    assert last >= S - st - 1
+    # every selected tail sample is flagged for dt scaling
+    np.testing.assert_array_equal(
+        np.asarray(scaled)[0], sel_np & (np.arange(S) >= K - TK))
+    # stride covers the remainder: (M-K1) steps in <= TK samples
+    assert st == int(np.ceil((S - (K - TK)) / TK))
+
+
+def test_dense_march_tail_reaches_walls(rng):
+    """Fog scenario e2e: under a DENSE occupancy grid the tail samples
+    must include distal-wall samples (the first-K cap alone confines
+    every sample to the first 0.05 units — the round-3 fog failure)."""
+    from normal_clustering_nerf_tpu.ops.ray_march import (
+        march_rays_train_dense,
+    )
+
+    G, scale, max_samples = 64, 0.5, 512
+    occ = np.ones((G, G, G), bool)
+    flat = occ.transpose(2, 1, 0).reshape(-1)
+    bitfield = packbits(jnp.asarray(flat.astype(np.float32)), 0.5)
+    N, K = 16, 32
+    rays_o = np.zeros((N, 3), np.float32)
+    d = rng.standard_normal((N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hits = ray_aabb_intersect(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.zeros(3), jnp.full(3, scale))
+    common = dict(cascades=1, scale=scale, exp_step_factor=0.0,
+                  grid_size=G, max_samples=max_samples, samples_per_ray=K)
+    capped = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.zeros(N), tail_k=0, **common)
+    tailed = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.zeros(N), tail_k=8, **common)
+    t2 = np.asarray(hits)[:, 1]
+    t_cap = np.asarray(capped.t)
+    t_tail = np.asarray(tailed.t)
+    v_tail = np.asarray(tailed.valid)
+    # the pure cap never gets past K*lo (the fog confinement radius)
+    assert (t_cap.max(1) <= K * SQRT3 / max_samples + 1e-6).all()
+    # the tail reaches the end of every ray up to one stride
+    # (stride = ceil((M - K1)/tail_k) steps of lo)
+    lo = SQRT3 / max_samples
+    stride = np.ceil((t2 / lo - (K - 8)) / 8.0)
+    far = np.where(v_tail, t_tail, 0).max(1)
+    assert (far >= t2 - (stride + 1) * lo).all()
+    # dt still integrates the whole selected span: sum(dt) ~ ray length
+    dt_sum = np.asarray(tailed.dt).sum(1)
+    np.testing.assert_allclose(dt_sum, t2, rtol=0.15)
