@@ -20,6 +20,7 @@ Modes:
   python bench.py --skip-quality    # throughput only (fast iteration)
 """
 import argparse
+import os
 import json
 import sys
 import time
@@ -184,6 +185,8 @@ def main():
         m = run_steps(trainer, cfg, total - warm - n_steps,
                       base_step=warm + n_steps)
         _log(f"train psnr at {total}: {sync(m):.2f}")
+        out["train_psnr"] = round(sync(m), 2)
+        out["trunc_ray_frac"] = round(float(m.get("trunc_ray_frac", 0.0)), 4)
         _log("rendering held-out views")
         scene = trainer.scene_test
         W, H = scene.img_wh
@@ -197,12 +200,45 @@ def main():
                 out[k] = round(val[k], 2)
         out["render_rays_per_s"] = round(n_px / render_s, 1)
         _log(f"quality: psnr={out['psnr']} render={out['render_rays_per_s']:,.0f} rays/s")
+
+    # Emit the JSON record BEFORE any gate so a quality failure can
+    # never erase the perf measurement (VERDICT r3 weak #2), and append
+    # to a history file so silent perf drift is visible run-to-run.
+    print(json.dumps(out))
+    sys.stdout.flush()
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_history.jsonl")
+    rec = dict(out)
+    rec["config"] = {
+        "batch": batch, "compute_dtype": args.compute_dtype,
+        "hash_layout": args.hash_layout,
+        "samples_per_ray": args.samples_per_ray,
+        "sv_intervals": args.sv_intervals, "num_chips": args.num_chips,
+    }
+    rec["time"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    best = None
+    try:
+        with open(hist_path) as f:
+            for line in f:
+                h = json.loads(line)
+                if h.get("config") == rec["config"]:
+                    v = h.get("value", 0)
+                    best = v if best is None else max(best, v)
+    except FileNotFoundError:
+        pass
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    if best:
+        delta = (out["value"] - best) / best * 100
+        _log(f"throughput vs best recorded at this config: {delta:+.1f}%")
+        if delta < -10:
+            _log(f"WARNING: >10% throughput regression vs best ({best:,.0f})")
+
+    if not args.skip_quality:
         # gate: a perf change that breaks learning must fail loudly
         # (floor pinned from measured runs; see BENCH history)
         floor = 22.0
         assert out["psnr"] >= floor, f"PSNR gate failed: {out['psnr']} < {floor}"
-
-    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -133,6 +133,10 @@ class RenderConfig:
     # gradient race at K1=24/tail 8).
     march_tail_k: int = -1
     max_march_iters: int = 4096        # safety bound on marching loop
+    # first-sample jitter amplitude (reference: raymarching.cu:195-198
+    # always jitters by U[0,1)*dt; 0 disables — diagnostic knob for
+    # isolating jitter-variance from true render-path ceilings)
+    march_noise: float = 1.0
     test_chunk: int = 65536            # rays per test-render chunk
     test_n_samples: int = 64           # samples per round in test renderer
     # Inference layout: 'bucket' compacts alive rays into power-of-two

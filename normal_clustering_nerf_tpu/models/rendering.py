@@ -137,7 +137,7 @@ def render_train(
     )
 
     budget = rcfg.sample_budget or N * 32
-    noise = jax.random.uniform(k_noise, (N,))
+    noise = jax.random.uniform(k_noise, (N,)) * rcfg.march_noise
     # -1 = full stratified budget (tail spans the whole allocation)
     tail_k = (budget // N) if rcfg.march_tail_k < 0 else rcfg.march_tail_k
     if rcfg.march_layout == "dense":
@@ -224,6 +224,7 @@ def render_train(
         max_samples=cfg.max_samples, sample_budget=budget,
         march_steps=rcfg.march_block,
         per_ray_cap=budget // N,
+        tail_k=tail_k,
     )
 
     # field evaluation on the compact (budget) batch; t is a constant of

@@ -207,6 +207,7 @@ def march_rays_train(
     sample_budget: int,
     march_steps: int = 0,
     per_ray_cap: int = 0,
+    tail_k: int = 0,
 ) -> MarchResult:
     """March all rays and compact occupied samples into a flat budget.
 
@@ -249,9 +250,12 @@ def march_rays_train(
     )
     in_range = (t1 >= 0)[:, None] & (tg < t2[:, None])
     hit = occ & in_range
-    cnt = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
     cap = min(max_samples, per_ray_cap) if per_ray_cap else max_samples
-    include = hit & (cnt <= cap)
+    # same budgeted selection as the dense layout (first-K cap or
+    # even-rank stratified tail) so the flat oracle stays in lockstep
+    # with the production path at any tail_k
+    include, span = stratified_budget(hit, cap, tail_k)
+    dtg = dtg * span.astype(dtg.dtype)  # span == 1 outside scaled tails
     return compact_samples(include, tg, dtg, B)
 
 
@@ -292,10 +296,14 @@ def stratified_budget(include, K: int, tail_k: int):
     """Per-row sample selection under a K budget with a coverage tail.
 
     The first ``K - tail_k`` occupied steps are taken verbatim; the
-    remaining ``tail_k`` slots are spread evenly (by occupied rank) over
-    the REST of the ray, each representing ``stride`` occupied steps.
-    Exact (== first-K) whenever a ray's occupied count fits the budget
-    (stride degenerates to 1).
+    remaining ``tail_k`` slots are placed at evenly spaced occupied
+    ranks over the REST of the ray — rank ``K1 + floor(j*E/K2)`` for
+    ``j = 1..K2`` where ``E`` is the occupied count beyond ``K1`` — so
+    ALL K budget slots are used for any E >= K2 (no stride-quantisation
+    utilisation cliff at E slightly above K2) and each tail sample's
+    represented span sums exactly to E (no final-group
+    over-integration). Exact (== first-K) whenever a ray's occupied
+    count fits the budget.
 
     Why: a pure first-K cap starves distal geometry of gradient whenever
     proximal occupancy exists — e.g. view-dependent fog billboards form
@@ -305,20 +313,29 @@ def stratified_budget(include, K: int, tail_k: int):
     (raymarching.cu:166-332) always reaches distal samples; the tail
     restores that coverage guarantee at fixed cost.
 
-    Returns (sel (N,S) bool, scaled (N,S) bool, stride (N,1) int32):
-    ``scaled`` marks tail samples whose dt must be multiplied by
-    ``stride`` so transmittance still integrates the represented span.
+    Returns (sel (N,S) bool, span (N,S) int32 >= 1): multiply selected
+    samples' dt by ``span`` so transmittance still integrates the
+    represented occupied extent.
     """
     cnt = jnp.cumsum(include.astype(jnp.int32), axis=-1)
+    ones = jnp.ones_like(cnt)
     if tail_k <= 0:
-        return (include & (cnt <= K), jnp.zeros_like(include),
-                jnp.ones_like(cnt[:, :1]))
+        return include & (cnt <= K), ones
     K1 = max(K - tail_k, 0)
+    K2 = tail_k
     M = cnt[:, -1:]
-    stride = jnp.maximum((M - K1 + tail_k - 1) // tail_k, 1)
-    pool1 = include & (cnt <= K1)
-    pool2 = include & (cnt > K1) & ((cnt - K1 - 1) % stride == 0)
-    return pool1 | pool2, pool2 & (stride > 1), stride
+    E = jnp.maximum(M - K1, 0)
+    x = cnt - K1                    # tail rank of each sample (>= 1 in tail)
+    Es = jnp.maximum(E, 1)
+    # smallest j whose even-rank target floor(j*E/K2) reaches x
+    jstar = -((-x * K2) // Es)      # ceil(x*K2/E)
+    sel_even = (jstar * Es) // K2 == x
+    span_even = x - ((jstar - 1) * Es) // K2
+    exact = E <= K2                 # every tail rank fits: take all
+    in_tail = include & (x >= 1)
+    sel = (include & (cnt <= K1)) | (in_tail & (exact | sel_even))
+    span = jnp.where(in_tail & ~exact & sel_even, span_even, ones)
+    return sel, span
 
 
 def coarse_lookup(xyz, coarse_occ, *, scale, grid_size):
@@ -432,25 +449,31 @@ def march_rays_train_dense(
         xyz, dtg, bitfield, cascades=cascades, scale=scale, grid_size=grid_size
     )
     include = occ & gate & in_range_fn(tg)
-    # budgeted selection: first-K cap, optionally with a strided
+    # budgeted selection: first-K cap, optionally with an even-rank
     # coverage tail (tail_k > 0) so distal occupied samples keep
     # receiving gradient when proximal occupancy would exhaust K
-    sel, scaled, stride = stratified_budget(include, K, tail_k)
+    sel, span = stratified_budget(include, K, tail_k)
     rm_samples = jnp.sum(sel)
 
     idx, valid = select_first_k(sel, min(K, include.shape[1]))
     t_k = jnp.where(valid, jnp.take_along_axis(tg, idx, axis=1), 0.0)
     dt_k = jnp.where(valid, jnp.take_along_axis(dtg, idx, axis=1), 0.0)
     if tail_k > 0:
-        sc_k = jnp.take_along_axis(scaled, idx, axis=1)
-        dt_k = jnp.where(sc_k, dt_k * stride.astype(dt_k.dtype), dt_k)
+        sp_k = jnp.take_along_axis(span, idx, axis=1)
+        dt_k = dt_k * sp_k.astype(dt_k.dtype)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
     if n_cand_extra is None:
         trunc = jnp.zeros((), jnp.int32)   # exact enumeration, no cap
+    elif tail_k > 0:
+        # under a stratified tail ANY skipped candidate block biases
+        # the sample distribution proximally (selection depends on the
+        # whole enumerated extent), so count every ray with candidate
+        # blocks beyond the coarse_k_blocks budget
+        trunc = jnp.sum(n_cand_extra > 0).astype(jnp.int32)
     else:
-        # under-filled rays with candidate blocks left beyond the
-        # coarse_k_blocks budget: the unbounded reference march would
-        # have given them more samples
+        # first-K semantics: only under-filled rays with candidate
+        # blocks left beyond the budget lost samples the unbounded
+        # reference march would have given them
         trunc = jnp.sum((ray_count < K) & (n_cand_extra > 0)).astype(jnp.int32)
     return DenseMarchResult(
         t=t_k, dt=dt_k, valid=valid, ray_count=ray_count,
@@ -501,12 +524,16 @@ def march_rays_train_dense_sv(
     S = march_steps or max_samples
     K = min(samples_per_ray, S)
     if n_intervals <= 0:
-        # auto-full horizon: a cube-diagonal ray crosses at most
-        # ceil(sqrt(3) * Gc) supervoxels, so truncation is IMPOSSIBLE
-        # by construction (the silent-horizon cap starved distal
-        # geometry of gradient and forced billboard memorization —
-        # round-3 diagnosis, trunc_ray_frac 0.78 under a dense grid)
-        n_intervals = int(SQRT3 * (grid_size // 8)) + 2
+        # auto-full horizon: supervoxel visits are bounded by axis-plane
+        # crossings — at most Gc - 1 boundary planes per axis plus the
+        # starting cell, i.e. 3*(Gc-1) + 1 <= 3*Gc cells for ANY ray
+        # (NOT the sqrt(3)*Gc diagonal *length*: a near-diagonal ray
+        # crosses a new cell at every axis plane) — so truncation is
+        # impossible by construction (the silent-horizon cap starved
+        # distal geometry of gradient and forced billboard
+        # memorization — round-3 diagnosis, trunc_ray_frac 0.78 under
+        # a dense grid)
+        n_intervals = 3 * (grid_size // 8)
     t1, t2 = hits_t[:, 0], hits_t[:, 1]
     hit = t1 >= 0
     t0 = t1 + lo * noise
@@ -515,9 +542,15 @@ def march_rays_train_dense_sv(
         rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload,
         scale=scale, grid_size=grid_size, K=K, S=S, lo=lo, RI=n_intervals,
         tail_k=tail_k)
-    # under-filled rays with occupied runs left beyond the sv_intervals
-    # budget: the unbounded reference march would have sampled them
-    trunc = jnp.sum(hit & (ray_count < K) & (iv_extra > 0)).astype(jnp.int32)
+    if tail_k > 0:
+        # stratified selection depends on the whole enumerated extent:
+        # ANY skipped occupied run biases the sample set even when K
+        # samples were collected
+        trunc = jnp.sum(hit & (iv_extra > 0)).astype(jnp.int32)
+    else:
+        # first-K semantics: only under-filled rays with occupied runs
+        # left beyond the sv_intervals budget lost reference samples
+        trunc = jnp.sum(hit & (ray_count < K) & (iv_extra > 0)).astype(jnp.int32)
     return DenseMarchResult(
         t=t_k, dt=dt_k, valid=valid, ray_count=ray_count,
         rm_samples=rm_samples, trunc_rays=trunc,
@@ -628,15 +661,15 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
 
     incf = include.reshape(N, RI * SI)
     ttf = tt.reshape(N, RI * SI)
-    sel, scaled, stride = stratified_budget(incf, K, tail_k)
+    sel, span = stratified_budget(incf, K, tail_k)
     rm_samples = jnp.sum(sel)
 
     sidx, valid = select_first_k(sel, min(K, RI * SI))
     t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
     if tail_k > 0:
-        sc_k = jnp.take_along_axis(scaled, sidx, axis=1)
-        dt_k = jnp.where(sc_k, dt_k * stride.astype(dt_k.dtype), dt_k)
+        sp_k = jnp.take_along_axis(span, sidx, axis=1)
+        dt_k = dt_k * sp_k.astype(dt_k.dtype)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
     return t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra
 

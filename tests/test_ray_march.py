@@ -319,10 +319,9 @@ def test_stratified_budget_exact_when_under_cap():
         [1, 0, 1, 1, 0, 0, 1, 0],   # M=4 <= K=6
         [0, 0, 0, 0, 0, 0, 0, 0],   # empty
     ], bool))
-    sel, scaled, stride = stratified_budget(inc, 6, 2)
+    sel, span = stratified_budget(inc, 6, 2)
     np.testing.assert_array_equal(np.asarray(sel), np.asarray(inc))
-    assert not np.asarray(scaled).any()
-    np.testing.assert_array_equal(np.asarray(stride).ravel(), [1, 1])
+    assert np.all(np.asarray(span)[np.asarray(sel)] == 1)
 
 
 def test_stratified_budget_covers_distal():
@@ -332,21 +331,17 @@ def test_stratified_budget_covers_distal():
 
     S, K, TK = 256, 32, 8
     inc = jnp.ones((1, S), bool)      # fully occupied (fog scenario)
-    sel, scaled, stride = stratified_budget(inc, K, TK)
+    sel, span = stratified_budget(inc, K, TK)
     sel_np = np.asarray(sel)[0]
-    assert sel_np.sum() <= K
+    span_np = np.asarray(span)[0]
+    assert sel_np.sum() == K          # ALL budget slots used
     # head pool: first K-TK samples verbatim
     assert sel_np[: K - TK].all()
-    # tail reaches the distal end: last selected sample within one
-    # stride of the final occupied step
-    st = int(np.asarray(stride)[0, 0])
-    last = np.where(sel_np)[0][-1]
-    assert last >= S - st - 1
-    # every selected tail sample is flagged for dt scaling
-    np.testing.assert_array_equal(
-        np.asarray(scaled)[0], sel_np & (np.arange(S) >= K - TK))
-    # stride covers the remainder: (M-K1) steps in <= TK samples
-    assert st == int(np.ceil((S - (K - TK)) / TK))
+    # tail reaches the distal end exactly (even-rank selection always
+    # places its last pick on the final occupied step)
+    assert sel_np[S - 1]
+    # selected spans integrate the whole remainder, nothing more
+    assert span_np[sel_np][K - TK:].sum() == S - (K - TK)
 
 
 def test_dense_march_tail_reaches_walls(rng):

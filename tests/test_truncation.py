@@ -120,3 +120,40 @@ def test_coarse_truncation_counted(rng):
     assert int(loose.trunc_rays) == 0
     np.testing.assert_array_equal(
         np.asarray(loose.ray_count), np.asarray(exact.ray_count))
+
+
+def test_sv_auto_full_horizon_never_truncates_diagonal(rng):
+    """ADVICE r3: the auto-full horizon (n_intervals=0) must bound the
+    TRUE maximum supervoxel visits — axis-plane crossings (~3*Gc), not
+    the sqrt(3)*Gc diagonal length. Near-diagonal rays through a FULLY
+    occupied grid are the worst case: every supervoxel crossing is an
+    occupied run."""
+    occ = np.ones((G, G, G), bool)
+    flat = occ.transpose(2, 1, 0).reshape(-1)
+    bitfield = packbits(jnp.asarray(flat.astype(np.float32)), 0.5)
+    sv_mask, sv_payload = supervoxel_tables(bitfield, G)
+
+    n = 32
+    rays_o = rng.uniform(-0.49, -0.4, (n, 3)).astype(np.float32)
+    d = (np.ones((n, 3)) + rng.uniform(-0.05, 0.05, (n, 3))).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    noise = rng.random(n).astype(np.float32)
+    hits = ray_aabb_intersect(
+        jnp.asarray(rays_o), jnp.asarray(d), jnp.zeros(3), jnp.full(3, SCALE))
+
+    K = 64
+    common = dict(scale=SCALE, grid_size=G, max_samples=MAX_S,
+                  samples_per_ray=K)
+    exact = march_rays_train_dense(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, bitfield,
+        jnp.asarray(noise), cascades=1, exp_step_factor=0.0, **common)
+    svr = march_rays_train_dense_sv(
+        jnp.asarray(rays_o), jnp.asarray(d), hits, sv_mask, sv_payload,
+        jnp.asarray(noise), n_intervals=0, **common)
+    assert int(svr.trunc_rays) == 0
+    np.testing.assert_array_equal(
+        np.asarray(svr.ray_count), np.asarray(exact.ray_count))
+    s_v, e_v = np.asarray(svr.valid), np.asarray(exact.valid)
+    np.testing.assert_array_equal(s_v, e_v)
+    np.testing.assert_allclose(
+        np.asarray(svr.t)[s_v], np.asarray(exact.t)[e_v], rtol=1e-6)
