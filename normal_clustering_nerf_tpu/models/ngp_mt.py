@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.trunc_exp import trunc_exp
+from ..ops.trunc_exp import trunc_exp, trunc_sigmoid
 from .brick_hash import BrickGridSpec, brick_encode, init_brick_table
 from .hash_encoding import HashGridSpec, hash_encode, init_hash_table
 from .triplane import TriplaneSpec, init_triplane, triplane_encode
@@ -57,7 +57,9 @@ def _apply_mlp(params, x, out_act=None, compute_dtype=jnp.float32):
         if i < n - 1:
             h = jax.nn.relu(h)
     if out_act == "sigmoid":
-        h = jax.nn.sigmoid(h)
+        # gradient-clamped backward: a saturated color head can recover
+        # (see ops/trunc_exp.py trunc_sigmoid)
+        h = trunc_sigmoid(h)
     return h
 
 
