@@ -52,19 +52,41 @@ def main():
                        rgb_use_dir=bool(int(os.environ.get("USE_DIR", 0))),
                        n_levels=8, log2_bricks=11, log2_hashmap_size=17,
                        hash_layout=os.environ.get("LAYOUT", "brick"))
-    if FIXSIGMA > 0:
-        class _FixedSigma(NGPMT):
+    def _gt_color(x):
+        """Analytic wall texture c(x) (same formula as the tracer)."""
+        a = jnp.abs(x)
+        ax = jnp.argmax(a, -1)
+        sgn = jnp.take_along_axis(jnp.sign(x), ax[..., None], -1)[..., 0]
+        from normal_clustering_nerf_tpu.datasets.synthetic import (
+            _WALL_COLORS, _WALLS,
+        )
+        wall_id = jnp.zeros(x.shape[:-1], jnp.int32)
+        for w, (axis, s) in enumerate(_WALLS):
+            wall_id = jnp.where((ax == axis) & (sgn == s), w, wall_id)
+        rgb = jnp.asarray(_WALL_COLORS)[wall_id]
+        tex = (jnp.sin(2 * jnp.pi * 4 * x[..., 0])
+               + jnp.sin(2 * jnp.pi * 4 * x[..., 1] + 0.7)
+               + jnp.sin(2 * jnp.pi * 4 * x[..., 2] + 1.9)) / 3.0
+        return rgb * (0.675 + 0.325 * tex[..., None])
+
+    FIXCOLOR = bool(int(os.environ.get("FIXCOLOR", 0)))
+    if FIXSIGMA > 0 or FIXCOLOR:
+        class _Fixed(NGPMT):
             def __call__(self, params, x, d, **kw):
                 out = super().__call__(params, x, d, **kw)
-                out["sigmas"] = jnp.full_like(out["sigmas"], FIXSIGMA)
+                if FIXSIGMA > 0:
+                    out["sigmas"] = jnp.full_like(out["sigmas"], FIXSIGMA)
+                if FIXCOLOR:
+                    out["rgbs"] = _gt_color(x)
                 return out
-        model = _FixedSigma(mcfg)
+        model = _Fixed(mcfg)
     else:
         model = NGPMT(mcfg)
     params = {"m": model.init(jax.random.PRNGKey(0))}
     rcfg = RenderConfig(march_block=MAX_S, sample_budget=BATCH * K,
                         march_coarse=False, march_tail_k=TAILK,
-                        bootstrap_steps=0, march_noise=NOISE)
+                        bootstrap_steps=0, march_noise=NOISE,
+                        random_bg=bool(int(os.environ.get("RANDOM_BG", 0))))
     clip = float(os.environ.get("CLIP", 0))
     sched = bool(int(os.environ.get("SCHED", 0)))
     lr = (optax.cosine_decay_schedule(LR, ITERS, alpha=1.0 / 30.0)
@@ -90,18 +112,25 @@ def main():
         def loss_fn(p):
             res = render_train(model, p["m"], bitfield, o, d, k_r, rcfg,
                                global_step=10 ** 6)
-            return jnp.mean((res["rgb"] - tgt) ** 2)
+            mse = jnp.mean((res["rgb"] - tgt) ** 2)
+            l = mse
+            ow = float(os.environ.get("OPACITY_W", 0))
+            if ow > 0:
+                op = jnp.clip(res["opacity"], 1e-6, 1 - 1e-6)
+                l = l + ow * jnp.mean(-op * jnp.log(op))
+            return l, (mse, jnp.mean(res["opacity"]))
 
-        mse, g = jax.value_and_grad(loss_fn)(params)
+        (_, (mse, op)), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         u, opt = tx.update(g, opt, params)
-        return optax.apply_updates(params, u), opt, mse
+        return optax.apply_updates(params, u), opt, mse, op
 
     key = jax.random.PRNGKey(1)
     for it in range(ITERS + 1):
         key, k = jax.random.split(key)
-        params, opt, mse = step(params, opt, k)
-        if it % max(ITERS // 6, 1) == 0:
-            print(f"it {it}: psnr {psnr(mse):.2f}", flush=True)
+        params, opt, mse, op = step(params, opt, k)
+        if it % max(ITERS // 12, 1) == 0:
+            print(f"it {it}: psnr {psnr(mse):.2f} opacity {float(op):.3f}",
+                  flush=True)
 
     # full-image eval + diagnostics
     d_full = dirs @ pose[:, :3].T

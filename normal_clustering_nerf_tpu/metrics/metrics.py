@@ -38,22 +38,21 @@ class NeRFMTMetricsPerIm:
 
     @staticmethod
     def _try_lpips():
-        try:  # pragma: no cover - requires local VGG weights
-            import torch  # noqa: F401
-            from torchmetrics.image.lpip import (
-                LearnedPerceptualImagePatchSimilarity,
-            )
-            return LearnedPerceptualImagePatchSimilarity(net_type="vgg")
-        except Exception as e:
+        """Native JAX VGG-LPIPS (metrics/lpips.py), weights from the
+        vendored npz (reference: metrics/rgb_metrics.py:124-162 loads
+        the same net through torchmetrics)."""
+        from .lpips import default_weights_path, load_lpips
+        m = load_lpips()
+        if m is None:
             import warnings
             warnings.warn(
-                "eval_lpips=True but the VGG-LPIPS metric is unavailable "
-                f"({type(e).__name__}: {e}); the 'lpips' column will be "
-                "missing from results. Provide torchmetrics + local VGG "
-                "weights to enable it.",
+                "eval_lpips=True but no LPIPS weight file was found at "
+                f"{default_weights_path()}; the 'lpips' column will be "
+                "missing from results. Produce the npz once with "
+                "experiments/convert_lpips_weights.py (see its docstring).",
                 RuntimeWarning, stacklevel=2,
             )
-            return None
+        return m
 
     def reset(self):
         self.vals = defaultdict(list)
@@ -72,14 +71,9 @@ class NeRFMTMetricsPerIm:
         self.vals["ssim_norm_scikit"].append(
             ssim_norm_scikit(pred["rgb"], gt["rgb"]))
         if self._lpips is not None:
-            import torch
-            p = torch.from_numpy(
-                np.asarray(pred["rgb"], np.float32).transpose(2, 0, 1)[None]
-            ) * 2 - 1
-            g = torch.from_numpy(
-                np.asarray(gt["rgb"], np.float32).transpose(2, 0, 1)[None]
-            ) * 2 - 1
-            self.vals["lpips"].append(float(self._lpips(p, g)))
+            self.vals["lpips"].append(float(self._lpips(
+                np.clip(np.asarray(pred["rgb"], np.float32), 0, 1),
+                np.clip(np.asarray(gt["rgb"], np.float32), 0, 1))))
 
         if self.load_depth_gt and "depth" in gt and "depth" in pred:
             self.vals["depth_rmse"].append(depth_rmse(pred["depth"], gt["depth"]))

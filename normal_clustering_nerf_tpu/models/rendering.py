@@ -78,11 +78,21 @@ def _split_rend(model, rend):
 
 def _bg_color(model, key, random_bg):
     """reference: rendering.py:232-238 — white for synthetic
-    (exp_step_factor==0), else random or black."""
-    if model.cfg.exp_step_factor == 0.0:
-        return jnp.ones(3)
+    (exp_step_factor==0), else random (training) or black.
+
+    Deviation: random_bg takes priority over the white-synthetic rule.
+    A FIXED training background creates a degenerate translucent
+    attractor for budgeted marches: the model paints luminance as
+    (1-opacity)*bg, which pins darker color channels at the sigmoid
+    floor and locks opacity at 1-mean(target) (round-4 diagnosis: the
+    16 dB grayscale plateau). A per-step random background makes
+    transparency unfittable, forcing real surfaces — harmless for
+    closed scenes and exactly the reference's own mechanism for its
+    real-scene runs."""
     if random_bg:
         return jax.random.uniform(key, (3,))
+    if model.cfg.exp_step_factor == 0.0:
+        return jnp.ones(3)
     return jnp.zeros(3)
 
 
