@@ -164,7 +164,17 @@ class RenderConfig:
     # samples start at the true surface and the cap is harmless.
     bootstrap_steps: int = 512
     bootstrap_max_samples: int = 128
-    random_bg: bool = False
+    # Per-step random training background (reference: rendering.py:236
+    # uses this for its real-scene runs). Default TRUE: with a FIXED
+    # training background a budgeted march starts near-transparent and
+    # the model falls into a degenerate translucent attractor — it
+    # paints luminance as (1-opacity)*bg, pinning dark channels at the
+    # sigmoid floor and opacity at 1-mean(target) (round-4 diagnosis:
+    # 16 dB grayscale plateau vs 48 dB with random bg on the same
+    # scene). All headline datasets are closed indoor scenes where the
+    # converged background is irrelevant; set False only for scenes
+    # with true fixed-color backgrounds visible in the labels.
+    random_bg: bool = True
     anneal_strategy: str = "none"      # 'avoid_near' | 'depth' | 'none'
     anneal_steps: int = 0
 

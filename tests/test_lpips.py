@@ -34,7 +34,7 @@ def _torch_lpips(params, img0, img1):
             w = torch.from_numpy(
                 np.transpose(params[f"{name}_w"], (3, 2, 0, 1)).copy())
             b = torch.from_numpy(params[f"{name}_b"])
-            h = F.relu(F.conv2d(h, w, b, padding=1))
+            h = F.relu(F.conv2d(h.float(), w.float(), b.float(), padding=1))
             if name in _TAPS:
                 out.append(h)
         return out
@@ -42,6 +42,7 @@ def _torch_lpips(params, img0, img1):
     fa, fb = feats(img0), feats(img1)
     total = 0.0
     for i, (x, y) in enumerate(zip(fa, fb)):
+        x = x.float(); y = y.float()
         xn = x / torch.sqrt((x * x).sum(1, keepdim=True) + 1e-10)
         yn = y / torch.sqrt((y * y).sum(1, keepdim=True) + 1e-10)
         d = (xn - yn) ** 2
