@@ -149,6 +149,10 @@ class RenderConfig:
     # floor on samples/ray per bucket round (TPU: dispatch overhead
     # dominates tiny rounds; see models/rendering.py bucket driver)
     test_min_k: int = 32
+    # marching/compositing rounds fused into one dispatch after the
+    # first (host dispatch + n_alive fetch cost ~100 ms on a tunneled
+    # TPU and dominated the whole test render at 1 round/dispatch)
+    test_rounds_per_dispatch: int = 4
     # Coarse-step bootstrap: for the first `bootstrap_steps` train steps
     # march with dt = sqrt(3)/bootstrap_max_samples (occupancy-cell-
     # sized) so the K-sample probe window covers K/S_boot of the ray

@@ -276,8 +276,9 @@ def render_train(
 
 @lru_cache(maxsize=64)
 def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
-                               use_sv=False):
-    """Jitted one-round alive-compacted march+eval+composite.
+                               use_sv=False, rounds=1):
+    """Jitted alive-compacted march+eval+composite block of `rounds`
+    rounds.
 
     The TPU replacement for the reference's dynamic alive-ray compaction
     (reference: models/rendering.py:78-84 + raymarching.cu:335-404):
@@ -287,7 +288,11 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
     window from each cursor, selects the first `K` occupied samples per
     ray, and evaluates the field on exactly B*K sample slots — so
     converged rays cost no network evals and per-round work shrinks
-    with the alive set. Compiled once per (B, K) bucket and cached.
+    with the alive set. `rounds` rounds run inside ONE dispatch via
+    lax.fori_loop (the host round-trip — dispatch + n_alive fetch —
+    was the dominant cost of the whole test renderer on a tunneled
+    TPU: 749 rays/s in round 3). Compiled once per (B, K, rounds)
+    bucket and cached.
     """
     from .ngp_mt import NGPMT
 
@@ -296,8 +301,8 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
                max_samples=mcfg.max_samples, grid_size=mcfg.grid_size,
                scale=mcfg.scale)
 
-    def round_fn(params, occ_tables, rays_o, rays_d, t2,
-                 cursor, alive, opacity, depth, rend, exposure=None):
+    def one_round(params, occ_tables, rays_o, rays_d, t2,
+                  cursor, alive, opacity, depth, rend, exposure):
         from ..ops.ray_march import (
             calc_dt, march_rays_test_round_sv, occupancy_lookup,
             select_first_k, t_step_grid,
@@ -365,10 +370,26 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
         alive_b = sel & ~converged & (new_cur_b < far)
         alive = alive.at[idx].set(jnp.where(sel, alive_b, alive[idx]))
         n_eff = jnp.sum(jnp.where(sel[:, None], svalid, False))
-        n_alive = jnp.sum(alive)
-        return cursor, alive, opacity, depth, rend, n_eff, n_alive
+        return cursor, alive, opacity, depth, rend, n_eff
 
-    return jax.jit(round_fn)
+    def block_fn(params, occ_tables, rays_o, rays_d, t2,
+                 cursor, alive, opacity, depth, rend, exposure=None):
+        def body(_, carry):
+            cursor, alive, opacity, depth, rend, n_eff = carry
+            cursor, alive, opacity, depth, rend, ne = one_round(
+                params, occ_tables, rays_o, rays_d, t2,
+                cursor, alive, opacity, depth, rend, exposure)
+            return cursor, alive, opacity, depth, rend, n_eff + ne
+        carry = (cursor, alive, opacity, depth, rend,
+                 jnp.zeros((), jnp.int32))
+        if rounds == 1:
+            carry = body(0, carry)
+        else:
+            carry = jax.lax.fori_loop(0, rounds, body, carry)
+        cursor, alive, opacity, depth, rend, n_eff = carry
+        return cursor, alive, opacity, depth, rend, n_eff, jnp.sum(alive)
+
+    return jax.jit(block_fn)
 
 
 @lru_cache(maxsize=32)
@@ -470,19 +491,28 @@ def render_test(
                          max(min(N, 256), N // 16)})
         n_alive = int(jnp.sum(alive))
         samples = 0
+        first = True
         while samples < cfg.max_samples and n_alive > 0:
             B = next(b for b in ladder if b >= n_alive)
             K = max(min(N // B, 64), min_samples)
+            # First dispatch runs ONE round at full width (most rays
+            # converge on their first K occupied samples — a fused
+            # block would waste R-1 full-width rounds); later
+            # dispatches fuse `test_rounds_per_dispatch` rounds per
+            # call so the host round-trip stops dominating.
+            R = 1 if first else max(rcfg.test_rounds_per_dispatch, 1)
+            R = min(R, max((cfg.max_samples - samples) // K, 1))
             round_fn = _make_test_round_bucket_fn(
                 cfg, rcfg.T_threshold, B, K, S_march, exposure is not None,
-                use_sv)
+                use_sv, R)
             cursor, alive, opacity, depth, rend, n_eff, n_alive_dev = round_fn(
                 params, occ_tables, rays_o, rays_d, t2,
                 cursor, alive, opacity, depth, rend,
                 *((exposure,) if exposure is not None else ()),
             )
             total_samples = total_samples + n_eff
-            samples += K
+            samples += K * R
+            first = False
             n_alive = int(n_alive_dev)
         results = {"opacity": opacity, "depth": depth,
                    "total_samples": total_samples}

@@ -365,13 +365,28 @@ class Trainer:
 
     # ------------------------------------------------------------- validate
     def render_image(self, pose, directions=None):
-        """Full-image inference render, chunked (train_nerf.py:381-401)."""
+        """Full-image inference render (train_nerf.py:381-401)."""
+        return self.render_images([pose], directions)[0]
+
+    def render_images(self, poses, directions=None):
+        """Batched multi-image inference render: rays from ALL poses are
+        concatenated into one ray stream and rendered through shared
+        chunks, so the bucket renderer's per-dispatch overhead and its
+        tail rounds (few alive rays) amortise over every image at once
+        instead of being paid per image. Returns a list of per-image
+        result dicts (same keys as render_image)."""
         cfg = self.cfg
         scene = self.scene_test or self.scene_train
         W, H = scene.img_wh
         if directions is None:
             directions = jnp.asarray(scene.directions)
-        rays_o, rays_d = get_rays(directions, jnp.asarray(pose))
+        ros, rds = [], []
+        for pose in poses:
+            ro, rd = get_rays(directions, jnp.asarray(np.asarray(pose)))
+            ros.append(ro)
+            rds.append(rd)
+        rays_o = jnp.concatenate(ros)
+        rays_d = jnp.concatenate(rds)
         chunk = cfg.render.test_chunk
         outs = []
         for i in range(0, rays_o.shape[0], chunk):
@@ -382,18 +397,29 @@ class Trainer:
                 sv_mask=self.state.occ.sv_mask,
                 sv_payload=self.state.occ.sv_payload,
             ))
-        res = {}
+        cat = {}
         for k in outs[0]:
             if k == "total_samples":
-                res[k] = sum(int(o[k]) for o in outs)
+                cat[k] = sum(int(o[k]) for o in outs)
             else:
-                res[k] = np.concatenate([np.asarray(o[k]) for o in outs])
-        for k in ("rgb", "norm_nn", "sem"):
-            if k in res:
-                res[k] = res[k].reshape(H, W, -1)
-        for k in ("depth", "opacity"):
-            res[k] = res[k].reshape(H, W)
-        return res
+                cat[k] = np.concatenate([np.asarray(o[k]) for o in outs])
+        n_px = H * W
+        results = []
+        for j in range(len(poses)):
+            res = {}
+            for k, v in cat.items():
+                if k == "total_samples":
+                    res[k] = v // len(poses)
+                    continue
+                sl = v[j * n_px:(j + 1) * n_px]
+                if k in ("rgb", "norm_nn", "sem"):
+                    res[k] = sl.reshape(H, W, -1)
+                elif k in ("depth", "opacity"):
+                    res[k] = sl.reshape(H, W)
+                else:
+                    res[k] = sl
+            results.append(res)
+        return results
 
     def validate(self, save_vis_dir: Optional[str] = None,
                  save_preds_dir: Optional[str] = None,
@@ -416,8 +442,9 @@ class Trainer:
         )
         W, H = scene.img_wh
         depths, preds = [], []
+        all_res = self.render_images(list(scene.poses))
         for i in range(scene.n_images):
-            res = self.render_image(scene.poses[i])
+            res = all_res[i]
             pred = {"rgb": res["rgb"], "depth": res["depth"]}
             if "norm_nn" in res:
                 pred["norm_nn"] = res["norm_nn"]
