@@ -56,8 +56,10 @@ def main():
             norm_D_C_ort_dot_w=float(os.environ.get("CLUST_W", 0.1)),
             norm_D_C_centr_dot_w=float(os.environ.get("CLUST_W", 0.1)),
             norm_D_C_centr_L1_w=float(os.environ.get("CLUST_W", 0.1)),
-            norm_can_tres=0.3,
-            sem_w=0.04,
+            norm_can_tres=float(os.environ.get("TRES", 0.3)),
+            norm_can_start=int(os.environ.get("CLUST_START", 0)),
+            norm_can_grow=float(os.environ.get("CLUST_GROW", 1)),
+            sem_w=float(os.environ.get("SEM_W", 0.04)),
         ),
         data=DataConfig(batch_size=BATCH,
                         ray_sampling_strategy="all_images_triang"),
