@@ -208,9 +208,16 @@ def main():
         _log("rendering held-out views")
         scene = trainer.scene_test
         W, H = scene.img_wh
+        # first validate compiles the bucket-round fns (and produces the
+        # quality metrics); the SECOND render measures steady-state rate
+        # — the regime validation actually runs in during a sweep
         t0 = time.perf_counter()
         val = trainer.validate()
+        render_cold_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        trainer.render_images(list(scene.poses))
         render_s = time.perf_counter() - t0
+        _log(f"render cold {render_cold_s:.1f}s warm {render_s:.1f}s")
         n_px = scene.n_images * W * H
         out["psnr"] = round(val.get("psnr", float("nan")), 2)
         for k in ("norm_depth_ang_mean", "norm_nn_ang_mean"):
@@ -254,8 +261,9 @@ def main():
 
     if not args.skip_quality:
         # gate: a perf change that breaks learning must fail loudly
-        # (floor pinned from measured runs; see BENCH history)
-        floor = 22.0
+        # (floor pinned from measured runs — r04 passes at 36.8 dB with
+        # the reference production loss config; see bench_history.jsonl)
+        floor = 30.0
         assert out["psnr"] >= floor, f"PSNR gate failed: {out['psnr']} < {floor}"
 
 
