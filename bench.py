@@ -33,7 +33,8 @@ def _log(msg):
 
 
 def build_trainer(batch, num_chips=1, compute_dtype="float32",
-                  hash_layout="brick", samples_per_ray=32, sv_intervals=0):
+                  hash_layout="brick", samples_per_ray=32, sv_intervals=0,
+                  min_losses=False):
     from normal_clustering_nerf_tpu.config import (
         DataConfig, LossConfig, ModelConfig, OptimConfig, ParallelConfig,
         RenderConfig, TrainConfig,
@@ -65,13 +66,13 @@ def build_trainer(batch, num_chips=1, compute_dtype="float32",
         # garbage depth of an untrained field, which locked training
         # into a billboard state (val 19.5 vs 26.7 on the CPU
         # mini-bench, experiments/mini_bench.py ablation).
-        loss=LossConfig(
+        loss=(LossConfig(opacity_w=1e-3) if min_losses else LossConfig(
             opacity_w=1e-3, distortion_w=1e-3,
             norm_D_C_ort_dot_w=2e-3, norm_D_C_centr_dot_w=2e-3,
             norm_D_C_centr_L1_w=2e-3, norm_can_tres=0.01,
             norm_can_start=500, norm_can_grow=2500,
             sem_w=0.04,
-        ),
+        )),
         data=DataConfig(batch_size=batch,
                         ray_sampling_strategy="all_images_triang"),
         optim=OptimConfig(num_epochs=1, steps_per_epoch=1000),
@@ -123,11 +124,13 @@ def main():
     ap.add_argument("--num_chips", type=int, default=1)
     ap.add_argument("--skip-quality", action="store_true")
     ap.add_argument("--compute_dtype", type=str, default="float32")
-    ap.add_argument("--hash_layout", type=str, default="brick",
+    ap.add_argument("--hash_layout", type=str, default="triplane",
                     choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--samples_per_ray", type=int, default=32)
     ap.add_argument("--sv_intervals", type=int, default=0)
+    ap.add_argument("--min_losses", action="store_true",
+                    help="rgb+opacity losses only (loss-block cost probe)")
     args = ap.parse_args()
 
     import jax
@@ -140,7 +143,7 @@ def main():
     batch = args.batch
     trainer, cfg = build_trainer(batch, args.num_chips, args.compute_dtype,
                                  args.hash_layout, args.samples_per_ray,
-                                 args.sv_intervals)
+                                 args.sv_intervals, args.min_losses)
     _log("marking invisible cells")
     trainer.mark_invisible_cells()
     jax.block_until_ready(trainer.state.occ.density_grid)

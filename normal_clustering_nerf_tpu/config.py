@@ -241,6 +241,15 @@ class DataConfig:
     triang_max_expand: int = 0
     patch_size: int = 8
     storage_dtype: str = "float32"    # on-device image storage
+    # Sample batches on the HOST via the native C++ prefetcher
+    # (native/raybatch.cpp, the replacement for the reference's 16
+    # DataLoader workers — train_nerf.py:293-298) instead of on-device.
+    # The native batch shares the device RaySampler's exact
+    # {img_idxs, pix_idxs} contract (triangle triples interleaved), so
+    # the jitted step is identical — only the index source changes.
+    # Use for scenes whose pixel/label arrays exceed device HBM.
+    host_sampler: bool = False
+    host_sampler_threads: int = 4
 
 
 @dataclass(frozen=True)

@@ -93,6 +93,23 @@ class Trainer:
             max_expand=cfg.data.triang_max_expand,
             patch_size=cfg.data.patch_size, n_random_poses=n_rand,
         )
+        self.native_sampler = None
+        if cfg.data.host_sampler:
+            if cfg.data.random_tr_poses:
+                raise ValueError("host_sampler does not support "
+                                 "random_tr_poses")
+            from ..datasets.native_sampler import NativeRaySampler
+            labels = scene_train.labels
+            self.native_sampler = NativeRaySampler(
+                cfg.data.ray_sampling_strategy, cfg.data.batch_size,
+                scene_train.img_wh,
+                np.asarray(scene_train.rays)[..., :3],
+                depth=labels.get("depth"),
+                normals=labels.get("normals"),
+                semantics=labels.get("semantics"),
+                max_expand=cfg.data.triang_max_expand,
+                patch_size=cfg.data.patch_size,
+                n_threads=cfg.data.host_sampler_threads, seed=cfg.seed)
         self.scene_dev = _scene_to_device(scene_train)
         key = jax.random.PRNGKey(cfg.seed)
         self.state, self.tx = create_train_state(
@@ -149,6 +166,20 @@ class Trainer:
                 self._make_chunk_fn(cfg.optim.update_interval,
                                     bootstrap=True),
                 donate_argnums=(0,))
+        if self.native_sampler is not None:
+            if self.mesh is not None:
+                raise ValueError("host_sampler is single-device only")
+            self._train_step_hostb = {
+                b: jax.jit(partial(self._train_step_batch_impl, bootstrap=b),
+                           donate_argnums=(0,))
+                for b in (False, True)
+            }
+            self._train_chunk_hostb = {
+                b: jax.jit(self._make_chunk_batch_fn(
+                    cfg.optim.update_interval, bootstrap=b),
+                    donate_argnums=(0,))
+                for b in (False, True)
+            }
         self.R_offset = self._build_R_offset()
 
     def step_fns(self, step: int):
@@ -226,6 +257,29 @@ class Trainer:
         return self.train_step_core(state, scene, self.sampler,
                                     bootstrap=bootstrap)
 
+    # ------------------------------------------------- host-sampler path
+    def _train_step_batch_impl(self, state: TrainState, scene: Dict,
+                               batch: Dict, bootstrap: bool = False):
+        return self.train_step_core(state, scene, self.sampler,
+                                    bootstrap=bootstrap, batch=batch)
+
+    def _make_chunk_batch_fn(self, n_steps: int, bootstrap: bool = False):
+        """n_steps host-sampled batches consumed by one lax.scan
+        dispatch: the native prefetcher fills an (n_steps, B) index
+        block on the host while the previous chunk computes."""
+        def chunk_fn(state: TrainState, scene: Dict, batches: Dict):
+            def body(st, b):
+                return self.train_step_core(st, scene, self.sampler,
+                                            bootstrap=bootstrap, batch=b)
+            state2, ms = jax.lax.scan(body, state, batches)
+            return state2, jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return chunk_fn
+
+    def _next_host_batches(self, n: int) -> Dict:
+        bs = [self.native_sampler.next_batch() for _ in range(n)]
+        return {k: jnp.asarray(np.stack([b[k] for b in bs]))
+                for k in ("img_idxs", "pix_idxs")}
+
     def _make_chunk_fn(self, n_steps: int, sampler=None,
                        axis_name: Optional[str] = None,
                        bootstrap: bool = False):
@@ -245,11 +299,13 @@ class Trainer:
 
     def train_step_core(self, state: TrainState, scene: Dict, sampler,
                         axis_name: Optional[str] = None,
-                        bootstrap: bool = False):
+                        bootstrap: bool = False, batch: Optional[Dict] = None):
         """One optimization step; with `axis_name` set (inside shard_map)
         each chip samples its own sub-batch and gradients are pmean-reduced
         (the TPU replacement for Lightning DDP's all-reduce,
-        train_nerf.py:950-952)."""
+        train_nerf.py:950-952). With `batch` given (host-sampler mode),
+        the provided {img_idxs, pix_idxs} replace on-device sampling —
+        the rest of the step is identical."""
         cfg = self.cfg
         key, k_batch, k_render, k_loss = jax.random.split(state.key, 4)
         if axis_name is not None:
@@ -257,7 +313,8 @@ class Trainer:
             k_batch = jax.random.fold_in(k_batch, shard)
             k_render = jax.random.fold_in(k_render, shard)
             k_loss = jax.random.fold_in(k_loss, shard)
-        batch = sampler.sample(k_batch)
+        if batch is None:
+            batch = sampler.sample(k_batch)
         target = {"rgb": scene["rays"][batch["img_idxs"], batch["pix_idxs"]][..., :3]}
         for name in ("depth", "normals", "normals_depth", "semantics",
                      "semantics_WF"):
@@ -338,14 +395,28 @@ class Trainer:
                 k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
                 occ = self._occ_update[warm](self.state.occ, self.state.params, k)
                 self.state = self.state._replace(occ=occ)
-            step_fn, chunk_fn = self.step_fns(step)
-            if step % interval == 0 and step + interval <= total:
-                # full inter-refresh chunk: one fused scan dispatch
-                self.state, metrics = chunk_fn(self.state, self.scene_dev)
-                step += interval
+            boot = step < cfg.render.bootstrap_steps
+            if self.native_sampler is not None:
+                if step % interval == 0 and step + interval <= total:
+                    batches = self._next_host_batches(interval)
+                    self.state, metrics = self._train_chunk_hostb[boot](
+                        self.state, self.scene_dev, batches)
+                    step += interval
+                else:
+                    b = self._next_host_batches(1)
+                    b = jax.tree_util.tree_map(lambda x: x[0], b)
+                    self.state, metrics = self._train_step_hostb[boot](
+                        self.state, self.scene_dev, b)
+                    step += 1
             else:
-                self.state, metrics = step_fn(self.state, self.scene_dev)
-                step += 1
+                step_fn, chunk_fn = self.step_fns(step)
+                if step % interval == 0 and step + interval <= total:
+                    # full inter-refresh chunk: one fused scan dispatch
+                    self.state, metrics = chunk_fn(self.state, self.scene_dev)
+                    step += interval
+                else:
+                    self.state, metrics = step_fn(self.state, self.scene_dev)
+                    step += 1
             if log_every and step - last_log >= log_every:
                 last_log = step
                 m = {k: float(v) for k, v in metrics.items()}
