@@ -89,13 +89,13 @@ def build_trainer(batch, num_chips=1, compute_dtype="float32",
     return Trainer(cfg, scene_tr, scene_te), cfg
 
 
-def run_steps(trainer, cfg, n, base_step=0):
+def run_steps(trainer, cfg, n, base_step=0, no_occ=False):
     import jax
     interval = cfg.optim.update_interval
     step, end = base_step, base_step + n
     metrics = None
     while step < end:
-        if step % interval == 0:
+        if step % interval == 0 and not no_occ:
             k = jax.random.fold_in(jax.random.PRNGKey(7), step)
             occ = trainer._occ_update[step < cfg.optim.warmup_steps](
                 trainer.state.occ, trainer.state.params, k)
@@ -128,9 +128,12 @@ def main():
                     choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--samples_per_ray", type=int, default=32)
-    ap.add_argument("--sv_intervals", type=int, default=0)
+    ap.add_argument("--sv_intervals", type=int, default=24)
     ap.add_argument("--min_losses", action="store_true",
                     help="rgb+opacity losses only (loss-block cost probe)")
+    ap.add_argument("--no_occ_update", action="store_true",
+                    help="skip occupancy refreshes in the timed window "
+                         "(occupancy-maintenance cost probe)")
     args = ap.parse_args()
 
     import jax
@@ -166,7 +169,8 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    sync(run_steps(trainer, cfg, n_steps, base_step=warm))
+    sync(run_steps(trainer, cfg, n_steps, base_step=warm,
+                   no_occ=args.no_occ_update))
     dt = time.perf_counter() - t0
     if args.profile:
         jax.profiler.stop_trace()

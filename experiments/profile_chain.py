@@ -162,5 +162,58 @@ def main():
           flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in sys.argv:
     main()
+
+
+def profile_update_and_field():
+    """Occupancy-refresh and full-field timings (run with --extra)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from normal_clustering_nerf_tpu.config import ModelConfig
+    from normal_clustering_nerf_tpu.models.ngp_mt import NGPMT
+    from normal_clustering_nerf_tpu.models.occupancy import OccupancyGrid
+
+    rng = np.random.default_rng(0)
+    for layout in ("triplane", "brick"):
+        mcfg = ModelConfig(scale=0.5, grid_size=128, max_samples=1024,
+                           hash_layout=layout, pred_norm_nn=True,
+                           pred_sem=True, n_sem_cls=3)
+        model = NGPMT(mcfg)
+        params = model.init(jax.random.PRNGKey(0))
+        occ = OccupancyGrid(mcfg)
+        st0 = occ.init_state()
+
+        def upd(st):
+            density_fn = lambda x: model.density(params, x)
+            return occ.update(st, density_fn, jax.random.PRNGKey(3),
+                              591.0, warmup=False)
+        f = jax.jit(upd)
+        st = f(st0)
+
+        def chain_occ(st):
+            return f(st)
+        t = chain(chain_occ, st, n=10)
+        print(f"occ update [{layout:8s}]  {t:8.2f} ms "
+              f"(/16 steps = {t/16:.2f} ms/step)", flush=True)
+
+        # full field fwd+bwd (encode + all MLP heads) at M = 262144
+        M = 262144
+        x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (M, 3)).astype(np.float32))
+        d = jnp.asarray(rng.standard_normal((M, 3)).astype(np.float32))
+
+        def field_fb(x):
+            def loss(p):
+                out = model(p, x, d)
+                return (jnp.sum(out["rgbs"]) + jnp.sum(out["sigmas"])
+                        + jnp.sum(out["sems"]) + jnp.sum(out["norms"]))
+            g = jax.grad(loss)(params)
+            leaf = jax.tree_util.tree_leaves(g)[0]
+            return (x + jnp.sum(leaf) * 1e-12) % 1.0
+        print(f"field fwd+bwd [{layout:8s}] {chain(jax.jit(field_fb), x0):8.2f} ms",
+              flush=True)
+
+
+if __name__ == "__main__" and "--extra" in sys.argv:
+    profile_update_and_field()
