@@ -55,6 +55,14 @@ class NativeRaySampler:
                  n_threads: int = 4, queue_depth: int = 8, seed: int = 0):
         self._lib = _load_lib()
         W, H = img_wh
+        # mirror the device RaySampler's effective batch: triangle
+        # strategies emit whole (x1, x2, x3) triples, patch strategies
+        # whole patches (datasets/sampler.py group rounding)
+        if "triang_patch" in strategy:
+            pa = patch_size ** 2
+            batch_size = max(batch_size // pa, 1) * pa
+        elif "triang" in strategy:
+            batch_size = max(batch_size // 3, 1) * 3
         self.batch_size = batch_size
         # keep references so buffers outlive the native prefetcher
         self._rgb = np.ascontiguousarray(rgb, np.float32)
