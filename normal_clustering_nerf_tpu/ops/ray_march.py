@@ -338,6 +338,41 @@ def stratified_budget(include, K: int, tail_k: int):
     return sel, span
 
 
+def rank_targets(m_tot, K: int, tail_k: int):
+    """Closed-form occupied-rank targets for the K budget slots.
+
+    The selection rule of `stratified_budget` expressed directly as the
+    global occupied rank each output slot should hold (1-based), given
+    each ray's total occupied count ``m_tot`` (N,): slots 0..K1-1 take
+    ranks 1..K1 verbatim; tail slot j (1-based) takes rank
+    ``K1 + floor(j*E/K2)`` with represented span
+    ``floor(j*E/K2) - floor((j-1)*E/K2)`` when ``E = m_tot - K1`` exceeds
+    K2, else rank ``K1 + j`` with span 1. A slot is valid iff its target
+    rank <= m_tot.
+
+    This form lets the march pick samples WITHOUT materializing and
+    sorting the full candidate set: rank -> candidate is resolved by a
+    cumsum + searchsorted over the interval structure (see _sv_scan).
+    Returns (targets (N, K) int32, span (N, K) int32 >= 1).
+    """
+    N = m_tot.shape[0]
+    i = jnp.arange(K, dtype=jnp.int32)[None, :]
+    ones = jnp.ones((N, K), jnp.int32)
+    if tail_k <= 0:
+        return jnp.broadcast_to(i + 1, (N, K)), ones
+    K1, K2 = max(K - tail_k, 0), tail_k
+    E = jnp.maximum(m_tot.astype(jnp.int32) - K1, 0)[:, None]   # (N, 1)
+    j = i - K1 + 1                                # 1-based tail index
+    exact = E <= K2
+    tgt_even = (j * E) // K2
+    tgt_prev = ((j - 1) * E) // K2
+    tail_tgt = K1 + jnp.where(exact, j, tgt_even)
+    tail_span = jnp.where(exact, 1, tgt_even - tgt_prev)
+    targets = jnp.where(i < K1, i + 1, tail_tgt)
+    span = jnp.maximum(jnp.where(i < K1, 1, tail_span), 1)
+    return targets, span
+
+
 def coarse_lookup(xyz, coarse_occ, *, scale, grid_size):
     """Dilated supervoxel occupancy probe (cascade 0 only).
 
@@ -659,18 +694,33 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     bit = (word >> b_idx) & 1
     include = (bit > 0) & own
 
-    incf = include.reshape(N, RI * SI)
-    ttf = tt.reshape(N, RI * SI)
-    sel, span = stratified_budget(incf, K, tail_k)
-    rm_samples = jnp.sum(sel)
-
-    sidx, valid = select_first_k(sel, min(K, RI * SI))
-    t_k = jnp.where(valid, jnp.take_along_axis(ttf, sidx, axis=1), 0.0)
+    # ---- phase C: rank-targeted selection over the interval structure.
+    # Instead of flattening (N, RI*SI) candidates and sorting (the r4
+    # profile's single hottest march op: a (8190, 1608) sort + three
+    # 1608-wide take_along_axis chains, ~10 ms/step), resolve each
+    # budget slot's target occupied rank directly: cumsum within
+    # intervals + a tiny (N, K, RI) searchsorted picks the interval,
+    # one (N, K)-row gather fetches its rank row, argmax finds the step.
+    cnt = jnp.cumsum(include.astype(jnp.int32), axis=2)       # (N, RI, SI)
+    tot = cnt[:, :, -1]                                       # (N, RI)
+    cum = jnp.cumsum(tot, axis=1)                             # (N, RI)
+    m_tot = cum[:, -1]                                        # (N,)
+    targets, span_k = rank_targets(m_tot, K, tail_k)          # (N, K)
+    valid = targets <= m_tot[:, None]
+    # first interval whose cumulative count reaches the target rank
+    r = jnp.sum((cum[:, None, :] < targets[:, :, None]).astype(jnp.int32),
+                axis=2)
+    r = jnp.minimum(r, RI - 1)                                # (N, K)
+    l = targets - jnp.take_along_axis(cum - tot, r, axis=1)   # local rank
+    cnt_r = jnp.take_along_axis(cnt, r[:, :, None], axis=1)   # (N, K, SI)
+    jsel = jnp.argmax(cnt_r >= l[:, :, None], axis=2).astype(jnp.int32)
+    kk_sel = jnp.take_along_axis(k0, r, axis=1) + jsel        # lattice step
+    t_k = jnp.where(valid, t0[:, None] + kk_sel.astype(jnp.float32) * lo, 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
     if tail_k > 0:
-        sp_k = jnp.take_along_axis(span, sidx, axis=1)
-        dt_k = dt_k * sp_k.astype(dt_k.dtype)
+        dt_k = dt_k * span_k.astype(dt_k.dtype)
     ray_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    rm_samples = jnp.sum(ray_count)
     return t_k, dt_k, valid, ray_count, rm_samples, scan_end, iv_extra
 
 
