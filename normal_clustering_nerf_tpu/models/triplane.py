@@ -128,19 +128,21 @@ def _grid_geometry(x, spec: TriplaneSpec):
 
 
 def _slot_fold(rows, w):
-    """Fold gathered slot-major rows (M, S*F) with slot weights (M, S)
-    into (M, F) features: out[m, f] = sum_s rows[m, s*F+f] * w[m, s].
+    """Fold gathered FEATURE-MAJOR rows (M, F*S) with slot weights
+    (M, S) into (M, F) features: out[m, f] = sum_s rows[m, f*S+s]*w[m, s].
 
-    Written as a broadcast-multiply + reduce so XLA fuses it into a
-    single pass over the gather output. The previous formulation
-    (repeat(w, F) * rows, then a constant (S*F, F) fold-matmul) forced
-    XLA to materialize THREE (M, S*F) intermediates plus layout copies
-    around the matmul — ~4.8 ms/step of pure HBM traffic at M=262k,
-    S=64 (r4 train-step trace: tile.89/reshape.2532/mul.5945/copy.527).
+    Two deliberate choices, both from the r4 train-step trace:
+      * broadcast-multiply + reduce (not the old repeat(w, F) * rows +
+        constant fold-matmul, which materialized three (M, S*F)
+        intermediates plus layout copies — ~4.8 ms/step at M=262k);
+      * feature-major row layout, so the 3D view is (M, F, S) with the
+        reduced slot axis minor. The slot-major view (M, S, F) put a
+        2-8-wide feature axis in TPU lanes (padded up to 128) and XLA
+        inserted ~4 ms/step of pure layout copies around it.
     """
-    M, SF = rows.shape
+    M, FS = rows.shape
     S = w.shape[1]
-    return jnp.sum(rows.reshape(M, S, SF // S) * w[:, :, None], axis=1)
+    return jnp.sum(rows.reshape(M, FS // S, S) * w[:, None, :], axis=2)
 
 
 def _encode_impl(params, x, spec: TriplaneSpec):
@@ -173,26 +175,27 @@ def _tp_bwd(spec, need_dx, res, g):
     for pi, (a, b) in enumerate(_PLANES):
         row, w16, (dwu16, dwv16) = _plane_geometry(x[:, (a, b)], spec)
         g_p = g[:, pi * Fp:(pi + 1) * Fp]                   # (M, Fp)
-        # broadcast outer product (one fused pass) — not repeat*tile,
+        # broadcast outer product in FEATURE-MAJOR order (one fused
+        # pass, row layout matching _slot_fold) — not repeat*tile,
         # which materialized two extra (M, 128) intermediates
-        upd = (w16[:, :, None] * g_p[:, None, :]).reshape(M, 16 * Fp)
+        upd = (g_p[:, :, None] * w16[:, None, :]).reshape(M, Fp * 16)
         d_pl = jnp.zeros((spec.nb2 ** 2, 128), jnp.float32)
         d_planes.append(d_pl.at[row].add(upd))
         # position grads (extrinsic optimization) via the dw terms
         if need_dx:
-            rows = params["planes"][pi][row].reshape(M, 16, Fp)
-            gd = jnp.einsum("msf,mf->ms", rows, g_p)
+            rows = params["planes"][pi][row].reshape(M, Fp, 16)
+            gd = jnp.einsum("mfs,mf->ms", rows, g_p)
             du = jnp.sum(gd * dwu16, axis=1) * (spec.plane_res - 1)
             dv = jnp.sum(gd * dwv16, axis=1) * (spec.plane_res - 1)
             dx = dx.at[:, a].add(du)
             dx = dx.at[:, b].add(dv)
     grow, w64, (dwx, dwy, dwz) = _grid_geometry(x, spec)
     g_g = g[:, 3 * Fp:]
-    updg = (w64[:, :, None] * g_g[:, None, :]).reshape(M, 64 * Fg)
+    updg = (g_g[:, :, None] * w64[:, None, :]).reshape(M, Fg * 64)
     d_grid = jnp.zeros((spec.nb3 ** 3, 64 * Fg), jnp.float32).at[grow].add(updg)
     if need_dx:
-        rows = params["grid3d"][grow].reshape(M, 64, Fg)
-        gd = jnp.einsum("msf,mf->ms", rows, g_g)
+        rows = params["grid3d"][grow].reshape(M, Fg, 64)
+        gd = jnp.einsum("mfs,mf->ms", rows, g_g)
         s = spec.grid3d_res - 1
         dx = dx.at[:, 0].add(jnp.sum(gd * dwx, axis=1) * s)
         dx = dx.at[:, 1].add(jnp.sum(gd * dwy, axis=1) * s)
@@ -232,7 +235,7 @@ def triplane_encode_reference_np(params, x, spec: TriplaneSpec):
                 slot = lu * 4 + lv
                 w = (np.where(cu, f[:, 0], 1 - f[:, 0])
                      * np.where(cv, f[:, 1], 1 - f[:, 1]))
-                vals = planes[pi, row].reshape(M, 16, Fp)[np.arange(M), slot]
+                vals = planes[pi, row].reshape(M, Fp, 16)[np.arange(M), :, slot]
                 acc += w[:, None] * vals
         out[:, pi * Fp:(pi + 1) * Fp] = acc
     grid = np.asarray(params["grid3d"])
@@ -250,7 +253,7 @@ def triplane_encode_reference_np(params, x, spec: TriplaneSpec):
         w = (np.where(cx, f[:, 0], 1 - f[:, 0])
              * np.where(cy, f[:, 1], 1 - f[:, 1])
              * np.where(cz, f[:, 2], 1 - f[:, 2]))
-        vals = grid[row].reshape(M, 64, Fg)[np.arange(M), slot]
+        vals = grid[row].reshape(M, Fg, 64)[np.arange(M), :, slot]
         acc += w[:, None] * vals
     out[:, 3 * Fp:] = acc
     return out

@@ -630,7 +630,28 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
         svc.append(jnp.clip(jnp.floor((pos_a + mb) / sv), 0, Gc - 1
                             ).astype(jnp.int32))
     sv_id = (svc[2] * Gc + svc[1]) * Gc + svc[0]              # (N, NB)
-    occ_iv = (sv_mask[sv_id] > 0) & iv_valid
+    # Supervoxel occupancy probe. The mask is tiny (Gc^3 cells), so for
+    # production sizes it fits a few hundred 32-bit words: pack it once
+    # per call (one pass over Gc^3 elements) and resolve all N*NB
+    # probes with a one-hot word select + vector bit shift — a pure VPU
+    # fusion. The straight u8 gather costs ~8 ns/index (3.5 ms/step at
+    # 8192 rays x 52 intervals, r4 trace fusion.741); the packed select
+    # is ~10x cheaper. Fall back to the gather for huge grids where the
+    # (N, NB, W) one-hot would dominate.
+    Gc3 = Gc * Gc * Gc
+    W = Gc3 // 32
+    if Gc3 % 32 == 0 and W <= 1024:
+        words = jnp.sum(
+            (sv_mask.reshape(W, 32) > 0).astype(jnp.int32)
+            << jnp.arange(32, dtype=jnp.int32)[None, :], axis=1)
+        wsel = jnp.sum(
+            jnp.where((sv_id >> 5)[..., None]
+                      == jnp.arange(W, dtype=jnp.int32),
+                      words[None, None, :], 0), axis=-1)
+        occ_probe = ((wsel >> (sv_id & 31)) & 1) > 0
+    else:
+        occ_probe = sv_mask[sv_id] > 0
+    occ_iv = occ_probe & iv_valid
     # a ray enters each supervoxel once; duplicate-sv intervals only
     # arise from degenerate corner crossings and are always adjacent.
     # Invalid (sliver/padding) intervals get a sentinel id so they can
