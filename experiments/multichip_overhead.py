@@ -10,8 +10,7 @@ multi-chip efficiency (the real run adds ICI all-reduce of ~12 MB of
 grads, which XLA overlaps with the backward).
 
 Run:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python experiments/multichip_overhead.py
+  python experiments/multichip_overhead.py
 Writes MULTICHIP_OVERHEAD.json at the repo root.
 """
 import json
@@ -20,6 +19,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Same platform forcing as tests/conftest.py: this image's sitecustomize
+# pre-imports jax (so JAX_PLATFORMS from the launch env can be consumed
+# before this script runs), but XLA_FLAGS is read at CPU-client init,
+# which hasn't happened yet — set both here and override via jax.config.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def build(num_chips, batch):
@@ -32,7 +44,8 @@ def build(num_chips, batch):
 
     cfg = TrainConfig(
         model=ModelConfig(scale=0.5, grid_size=64, max_samples=256,
-                          pred_norm_nn=True, pred_sem=True, n_sem_cls=3,
+                          pred_norm_nn=True, pred_norm_depth=True,
+                          pred_sem=True, n_sem_cls=3,
                           n_levels=8, log2_bricks=10),
         render=RenderConfig(march_block=256, sample_budget=batch * 16),
         loss=LossConfig(opacity_w=1e-3, norm_D_C_ort_dot_w=0.1,
@@ -59,15 +72,53 @@ def time_steps(trainer, cfg, n=30):
     return (time.perf_counter() - t0) / n
 
 
+def calibrate_serialization(mesh):
+    """Pure-compute shard_map (no collectives) vs single-device: on the
+    virtual CPU mesh this measures how much the backend SERIALIZES the
+    per-device programs (1.0 = perfectly parallel, ~n = sequential).
+    Measured here: ~7.5x for 8 zero-communication matmul shards — the
+    virtual mesh runs device programs mostly back-to-back, so any
+    step-time ratio on it is dominated by this artifact, not by the
+    sharding design."""
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    y = jnp.ones((8, 1024, 1024), jnp.float32)
+    mm8 = jax.jit(shard_map(lambda v: (v[0] @ v[0])[None], mesh=mesh,
+                            in_specs=P("rays"), out_specs=P("rays")))
+    mm1 = jax.jit(lambda v: v @ v)
+
+    def t(fn, *a, n=10):
+        jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    return t(mm8, y) / t(mm1, y[0])
+
+
 def main():
     import jax
+    from jax.sharding import Mesh
+    import numpy as np
+
     n_dev = len(jax.devices())
     assert n_dev >= 8, f"need 8 virtual devices, got {n_dev}"
     batch = 4096
 
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    serial = calibrate_serialization(mesh)
+
     tr1, cfg1 = build(1, batch)
     tr1.mark_invisible_cells()
     t1 = time_steps(tr1, cfg1)
+    tr1s, cfg1s = build(1, batch // 8)
+    tr1s.mark_invisible_cells()
+    t1s = time_steps(tr1s, cfg1s)
     tr8, cfg8 = build(8, batch)
     tr8.mark_invisible_cells()
     t8 = time_steps(tr8, cfg8)
@@ -76,14 +127,25 @@ def main():
         "platform": jax.devices()[0].platform,
         "global_batch": batch,
         "single_step_s": round(t1, 5),
+        "single_perchip_batch_step_s": round(t1s, 5),
         "sharded8_step_s": round(t8, 5),
-        # CPU mesh shares one physical socket, so sharded time ~= single
-        # time + fixed overhead; report the overhead ratio (1.0 = free)
-        "overhead_ratio": round(t8 / t1, 3),
-        "note": "virtual 8-device CPU mesh: same silicon, so this is "
-                "dispatch+collective overhead, not real scaling. Real "
-                "multi-chip efficiency = 1/overhead_ratio at equal "
-                "per-chip batch if ICI collectives fully overlap.",
+        "overhead_ratio_strong": round(t8 / t1, 3),
+        "overhead_ratio_weak": round(t8 / t1s, 3),
+        # how much of that ratio is the CPU backend serializing device
+        # programs (measured on zero-communication matmul shards)
+        "backend_serialization_x": round(serial, 2),
+        "note": "virtual 8-device CPU mesh: the CPU backend runs the "
+                "per-device programs largely SEQUENTIALLY "
+                "(backend_serialization_x on pure compute, no "
+                "collectives), so step-time ratios here are a backend "
+                "artifact, NOT evidence about real ICI scaling. The "
+                "committed multichip evidence is: dryrun_multichip "
+                "(full sharded train step compiles+executes on an "
+                "8-device mesh) + tests/test_parallel.py (sharded == "
+                "single-device numerics). Real-chip scaling needs "
+                "real chips; the sharded step's collectives are one "
+                "grads pmean (~12 MB) + one metrics pmean per step, "
+                "overlappable with the backward pass on ICI.",
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "MULTICHIP_OVERHEAD.json"), "w") as f:

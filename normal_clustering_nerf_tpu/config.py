@@ -152,7 +152,18 @@ class RenderConfig:
     # marching/compositing rounds fused into one dispatch after the
     # first (host dispatch + n_alive fetch cost ~100 ms on a tunneled
     # TPU and dominated the whole test render at 1 round/dispatch)
-    test_rounds_per_dispatch: int = 4
+    test_rounds_per_dispatch: int = 16
+    # occupied supervoxel runs enumerated per sv test round: the cursor
+    # of a ray that found < K samples only advances to the end of the
+    # LAST enumerated run, so a small horizon makes sparse (residual
+    # fog) rays crawl — measured n_alive stayed >60k/65k after 2 rounds
+    # at 8 intervals because interior rays advanced 8 supervoxels/round
+    test_sv_intervals: int = 24
+    # full-width rounds dispatched back-to-back before the FIRST alive
+    # count fetch: after one 64-sample round the alive set is usually
+    # still >N/2 (so round 2 is full-width regardless), and each fetch
+    # costs a ~50-80 ms tunnel RTT of device idle
+    test_blind_rounds: int = 2
     # Coarse-step bootstrap: for the first `bootstrap_steps` train steps
     # march with dt = sqrt(3)/bootstrap_max_samples (occupancy-cell-
     # sized) so the K-sample probe window covers K/S_boot of the ray

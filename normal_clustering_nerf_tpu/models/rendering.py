@@ -16,6 +16,8 @@ d*(1+depth) instead of o+d*depth); we return the true origins.
 """
 from __future__ import annotations
 
+import os
+import sys
 from functools import lru_cache
 from typing import Optional
 
@@ -276,7 +278,7 @@ def render_train(
 
 @lru_cache(maxsize=64)
 def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
-                               use_sv=False, rounds=1):
+                               use_sv=False, rounds=1, sv_intervals=8):
     """Jitted alive-compacted march+eval+composite block of `rounds`
     rounds.
 
@@ -319,7 +321,7 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
                 ro, rd, cur, far, sel, occ_tables["sv_mask"],
                 occ_tables["sv_payload"], scale=mcfg.scale,
                 grid_size=mcfg.grid_size, max_samples=mcfg.max_samples,
-                n_steps=K)
+                n_steps=K, n_intervals=sv_intervals)
         else:
             bitfield = occ_tables["bitfield"]
             # ---- march probe window from each cursor ----
@@ -482,29 +484,60 @@ def render_test(
                   and cfg.grid_size % 8 == 0)
         occ_tables = ({"sv_mask": sv_mask, "sv_payload": sv_payload}
                       if use_sv else {"bitfield": bitfield})
-        # STATIC bucket ladder {N, N/4, N/16}: at most three distinct
-        # (B, K) shapes per chunk size, so a fresh process compiles 3
-        # round fns instead of ~10 (the full power-of-two ladder churned
-        # a fresh compile every round as the alive set shrank — ~15 s
-        # per 128^2 image cold; see VERDICT r2 weak #4)
-        ladder = sorted({N, max(min(N, 256), N // 4),
-                         max(min(N, 256), N // 16)})
-        n_alive = int(jnp.sum(alive))
+        # Dense power-of-two bucket ladder (floor 256). The r4 warm
+        # render trace showed the coarse {N, N/4, N/16} ladder running
+        # ~9 FULL-width rounds (19M field evals for a 65k-ray chunk)
+        # because n_alive sat between rungs: every round between N/4
+        # and N alive rays padded up to B=N. A dense ladder costs more
+        # distinct (B, K) compiles, but those are one-time via the
+        # persistent compile cache (VERDICT r2's churn predates it).
+        ladder = []
+        b = max(min(N, 256), 256)
+        while b < N:
+            ladder.append(b)
+            b *= 2
+        ladder.append(N)
+        # no initial device->host count fetch: round 1 is full-width
+        # for any plausible alive set, and every tunnel RTT costs
+        # ~50-80 ms of wall time
+        n_alive = N
         samples = 0
         first = True
+        blind_left = max(rcfg.test_blind_rounds, 1)
+        # One-round-stale alive counts: the device->host n_alive fetch
+        # through the tunneled chip costs tens of ms, and fetching it
+        # synchronously after every dispatch made the host gap ~40% of
+        # warm render wall time (r4 trace: 0.97s device, 1.6s wall).
+        # `alive` only ever SHRINKS during test rendering, so the count
+        # from dispatch i-1 is a valid upper bound when choosing the
+        # bucket for dispatch i+1 — each round still processes every
+        # alive ray (select_first_k fills B >= n_alive slots), the
+        # bucket is just occasionally one rung too wide. The fetch of
+        # round i-1's count overlaps round i's device execution.
+        pending_alive_dev = None
         while samples < cfg.max_samples and n_alive > 0:
             B = next(b for b in ladder if b >= n_alive)
             K = max(min(N // B, 64), min_samples)
-            # First dispatch runs ONE round at full width (most rays
-            # converge on their first K occupied samples — a fused
-            # block would waste R-1 full-width rounds); later
-            # dispatches fuse `test_rounds_per_dispatch` rounds per
-            # call so the host round-trip stops dominating.
-            R = 1 if first else max(rcfg.test_rounds_per_dispatch, 1)
+            if B == N:
+                # full-width rounds take DOUBLE samples: each dispatch
+                # through the tunneled chip costs ~65 ms of host
+                # latency, and two K-sample full-width rounds do the
+                # same device work as one 2K round — so spend the
+                # sample budget in half the dispatches while the alive
+                # set is still wide
+                K = min(2 * K, 64)
+            # Wide dispatches (B > N/8) run ONE round each so the host
+            # re-buckets while the alive set is crashing — one wasted
+            # full-width round costs ~100 ms, dwarfing the ~ms
+            # dispatch round-trip. Narrow dispatches fuse
+            # `test_rounds_per_dispatch` rounds per call so dispatch
+            # overhead stops dominating the tail.
+            R = 1 if (first or B > N // 8) else max(
+                rcfg.test_rounds_per_dispatch, 1)
             R = min(R, max((cfg.max_samples - samples) // K, 1))
             round_fn = _make_test_round_bucket_fn(
                 cfg, rcfg.T_threshold, B, K, S_march, exposure is not None,
-                use_sv, R)
+                use_sv, R, rcfg.test_sv_intervals)
             cursor, alive, opacity, depth, rend, n_eff, n_alive_dev = round_fn(
                 params, occ_tables, rays_o, rays_d, t2,
                 cursor, alive, opacity, depth, rend,
@@ -513,7 +546,26 @@ def render_test(
             total_samples = total_samples + n_eff
             samples += K * R
             first = False
-            n_alive = int(n_alive_dev)
+            if B > N // 8:
+                # wide regime: the alive set can crash 20x in one round
+                # (most rays converge on their first 32-64 occupied
+                # samples), and a one-round-stale count then buys a
+                # WASTED full-width round (~150 ms device) to save a
+                # ~65 ms fetch — block for the true count, except
+                # during the blind prefix (see test_blind_rounds)
+                blind_left -= 1
+                if blind_left <= 0:
+                    n_alive = int(n_alive_dev)
+                    pending_alive_dev = None
+            else:
+                # narrow tail: rounds are cheap, dispatch latency
+                # dominates — pipeline with one-round-stale counts
+                if pending_alive_dev is not None:
+                    n_alive = int(pending_alive_dev)
+                pending_alive_dev = n_alive_dev
+            if os.environ.get("NCNERF_RENDER_DEBUG"):
+                print(f"[render] B={B} K={K} R={R} n_alive_next={n_alive}",
+                      file=sys.stderr)
         results = {"opacity": opacity, "depth": depth,
                    "total_samples": total_samples}
         results.update(_split_rend(model, rend))

@@ -748,8 +748,16 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     oh_r = (lt_sh & ~lt).astype(jnp.int32)                    # (N, K, RI)
     cum_prev_r = jnp.sum(oh_r * (cum - tot)[:, None, :], axis=2)
     l = targets - cum_prev_r                                  # local rank
-    cnt_r = jnp.take_along_axis(cnt, r[:, :, None], axis=1)   # (N, K, SI)
-    jsel = jnp.argmax(cnt_r >= l[:, :, None], axis=2).astype(jnp.int32)
+    # fetch the chosen interval's within-rank row as a one-hot batched
+    # matmul over the RI axis, not a (N*K)-row gather: at test-render
+    # widths the gather was the single hottest op (52 ms at 4.2M rows,
+    # ~12 ns/row), while the (K, RI) x (RI, SI) batched dot rides the
+    # MXU. cnt values are small ints, exact in f32.
+    cnt_r = jnp.einsum("nkr,nrs->nks", oh_r.astype(jnp.float32),
+                       cnt.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)    # (N, K, SI)
+    jsel = jnp.argmax(cnt_r >= l[:, :, None].astype(jnp.float32),
+                      axis=2).astype(jnp.int32)
     kk_sel = jnp.sum(oh_r * k0[:, None, :], axis=2) + jsel    # lattice step
     t_k = jnp.where(valid, t0[:, None] + kk_sel.astype(jnp.float32) * lo, 0.0)
     dt_k = jnp.where(valid, lo, 0.0)
