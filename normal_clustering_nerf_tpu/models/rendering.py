@@ -298,6 +298,11 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
     """
     from .ngp_mt import NGPMT
 
+    if not use_sv and K > S_march:
+        raise ValueError(
+            f"bucket round K={K} exceeds probe window S_march={S_march}: "
+            "select_first_k is a row top_k over the window and requires "
+            "K <= S_march")
     model = NGPMT(mcfg)
     mkw = dict(exp_step_factor=mcfg.exp_step_factor,
                max_samples=mcfg.max_samples, grid_size=mcfg.grid_size,
@@ -526,6 +531,13 @@ def render_test(
                 # sample budget in half the dispatches while the alive
                 # set is still wide
                 K = min(2 * K, 64)
+            if not use_sv:
+                # the non-sv bucket path selects K occupied samples out
+                # of an S_march-step probe window: top_k requires
+                # K <= S_march (configs with test_march_window < 64
+                # crashed here in r4 — the production window of 128
+                # masked it)
+                K = min(K, S_march)
             # Wide dispatches (B > N/8) run ONE round each so the host
             # re-buckets while the alive set is crashing — one wasted
             # full-width round costs ~100 ms, dwarfing the ~ms
@@ -564,7 +576,13 @@ def render_test(
                     n_alive = int(pending_alive_dev)
                 pending_alive_dev = n_alive_dev
             if os.environ.get("NCNERF_RENDER_DEBUG"):
-                print(f"[render] B={B} K={K} R={R} n_alive_next={n_alive}",
+                # n_alive is stale-by-one during the blind prefix and
+                # narrow-tail pipelining — label it so ladder traces
+                # are interpretable
+                fresh = (B > N // 8 and blind_left <= 0)
+                print(f"[render] B={B} K={K} R={R} n_alive_next={n_alive}"
+                      f" ({'fresh' if fresh else 'stale'},"
+                      f" blind_left={max(blind_left, 0)})",
                       file=sys.stderr)
         results = {"opacity": opacity, "depth": depth,
                    "total_samples": total_samples}

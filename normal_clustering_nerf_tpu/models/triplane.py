@@ -38,6 +38,33 @@ import numpy as np
 
 _PLANES = ((0, 1), (0, 2), (1, 2))
 
+# Row-lane layout version. v1: slot-major lanes (s*F + f). v2: the
+# feature-major lanes (f*S + s) that _slot_fold assumes. Param SHAPES
+# are identical across versions, so a restore of a v1 checkpoint would
+# silently decode scrambled features without this tag — checkpoints
+# record it and training/checkpoints.py permutes v1 rows on restore.
+TRIPLANE_LAYOUT_VERSION = 2
+
+
+def convert_rows_slot_to_feature_major(rows, n_slots: int):
+    """One-time lane permutation: (rows, F*S) slot-major (lane s*F+f)
+    -> feature-major (lane f*S+s)."""
+    R, FS = rows.shape
+    F = FS // n_slots
+    return (np.asarray(rows).reshape(R, n_slots, F)
+            .transpose(0, 2, 1).reshape(R, FS))
+
+
+def convert_triplane_params_v1_to_v2(tp_params):
+    """Permute a v1 (slot-major) triplane param dict in place-free form."""
+    out = dict(tp_params)
+    out["planes"] = np.stack([
+        convert_rows_slot_to_feature_major(p, 16)
+        for p in np.asarray(tp_params["planes"])])
+    out["grid3d"] = convert_rows_slot_to_feature_major(
+        tp_params["grid3d"], 64)
+    return out
+
 
 class TriplaneSpec(NamedTuple):
     plane_res: int       # vertices per plane axis

@@ -742,7 +742,6 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     # lookups (prefix count, lattice offset) become one-hot reduces in
     # the same fusion (see the phase-A comment re batched-gather cost).
     lt = cum[:, None, :] < targets[:, :, None]                # (N, K, RI)
-    r = jnp.minimum(jnp.sum(lt.astype(jnp.int32), axis=2), RI - 1)
     lt_sh = jnp.concatenate(
         [jnp.ones_like(lt[:, :, :1]), lt[:, :, :-1]], axis=2)
     oh_r = (lt_sh & ~lt).astype(jnp.int32)                    # (N, K, RI)

@@ -18,6 +18,52 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState
+from ..models.triplane import (
+    TRIPLANE_LAYOUT_VERSION, convert_triplane_params_v1_to_v2)
+
+_LAYOUT_FILE = "layout_version.json"
+
+
+def _write_layout_tag(path: str):
+    import json
+    with open(os.path.join(path, _LAYOUT_FILE), "w") as f:
+        json.dump({"triplane_layout": TRIPLANE_LAYOUT_VERSION}, f)
+
+
+def _read_layout_tag(path: str) -> int:
+    """Layout version recorded in a checkpoint dir; absent tag = v1
+    (pre-versioning checkpoints are all slot-major)."""
+    import json
+    p = os.path.join(path, _LAYOUT_FILE)
+    if not os.path.exists(p):
+        return 1
+    with open(p) as f:
+        return int(json.load(f).get("triplane_layout", 1))
+
+
+def _maybe_convert_layout(params, version: int):
+    """Upgrade restored params to the current triplane row layout.
+
+    Param shapes are identical across layout versions, so without this
+    a v1 (slot-major-lane) checkpoint restores silently and decodes
+    scrambled features (r4 advisor finding)."""
+    if version == TRIPLANE_LAYOUT_VERSION:
+        return params
+    if version > TRIPLANE_LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint triplane layout v{version} is newer than this "
+            f"build's v{TRIPLANE_LAYOUT_VERSION} — refusing to guess")
+    if not isinstance(params, dict):
+        return params
+    if "model" in params:  # TrainState params nest model under 'model'
+        params = dict(params)
+        params["model"] = _maybe_convert_layout(params["model"], version)
+        return params
+    ht = params.get("hash_table")
+    if isinstance(ht, dict) and "planes" in ht and "grid3d" in ht:
+        params = dict(params)
+        params["hash_table"] = convert_triplane_params_v1_to_v2(ht)
+    return params
 
 
 def save_checkpoint(path: str, state: TrainState):
@@ -25,17 +71,23 @@ def save_checkpoint(path: str, state: TrainState):
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
+    _write_layout_tag(path)
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    state = ckptr.restore(path, template)
+    version = _read_layout_tag(path)
+    if version != TRIPLANE_LAYOUT_VERSION:
+        state = state._replace(
+            params=_maybe_convert_layout(state.params, version))
+    return state
 
 
 def save_weights(path: str, params):
     """Weights-only artifact (numpy archive, host-portable)."""
-    flat = {}
+    flat = {"__triplane_layout__": np.int32(TRIPLANE_LAYOUT_VERSION)}
     for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
         name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
         flat[name] = np.asarray(leaf)
@@ -45,6 +97,8 @@ def save_weights(path: str, params):
 def load_weights(path: str, params):
     """Restore params saved by save_weights into a matching template."""
     data = np.load(path)
+    version = (int(data["__triplane_layout__"])
+               if "__triplane_layout__" in data.files else 1)
     leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
     new_leaves = []
     for kp, leaf in leaves:
@@ -53,7 +107,8 @@ def load_weights(path: str, params):
             new_leaves.append(data[name])
         else:
             new_leaves.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+    restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return _maybe_convert_layout(restored, version)
 
 
 def slim_state(state: TrainState) -> dict:

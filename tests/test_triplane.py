@@ -115,3 +115,64 @@ def test_ngpmt_triplane_learns(rng):
     for _ in range(150):
         params2, opt, l = step(params2, opt)
     assert float(l) < 0.5 * float(l0), (float(l0), float(l))
+
+
+def test_layout_conversion_v1_to_v2(rng):
+    """A slot-major (v1) table permuted by the converter must encode
+    identically to the feature-major (v2) original (r4 advisor:
+    param shapes are layout-invariant, so restores of pre-change
+    checkpoints would otherwise silently scramble features)."""
+    from normal_clustering_nerf_tpu.models.triplane import (
+        convert_triplane_params_v1_to_v2,
+    )
+    spec = _spec()
+    params_v2 = init_triplane(jax.random.PRNGKey(3), spec)
+    # build the v1 (slot-major) version of the same table: inverse of
+    # the converter's (F, S) -> lanes transpose
+    def to_v1(rows, S):
+        R, FS = np.asarray(rows).shape
+        F = FS // S
+        return np.asarray(rows).reshape(R, F, S).transpose(0, 2, 1).reshape(R, FS)
+    params_v1 = {
+        "planes": np.stack([to_v1(p, 16) for p in np.asarray(params_v2["planes"])]),
+        "grid3d": to_v1(params_v2["grid3d"], 64),
+    }
+    upgraded = convert_triplane_params_v1_to_v2(params_v1)
+    np.testing.assert_array_equal(upgraded["planes"],
+                                  np.asarray(params_v2["planes"]))
+    np.testing.assert_array_equal(upgraded["grid3d"],
+                                  np.asarray(params_v2["grid3d"]))
+    x = jnp.asarray(rng.random((63, 3)).astype(np.float32))
+    out_a = triplane_encode(jax.tree_util.tree_map(jnp.asarray, upgraded),
+                            x, spec)
+    out_b = triplane_encode(params_v2, x, spec)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_layout_tag_roundtrip(tmp_path):
+    """save_weights/load_weights tag + upgrade path: a v1 npz (no tag)
+    with slot-major rows is permuted on load; a current npz is not."""
+    from normal_clustering_nerf_tpu.training.checkpoints import (
+        load_weights, save_weights,
+    )
+    spec = _spec()
+    params = {"hash_table": init_triplane(jax.random.PRNGKey(4), spec)}
+    p = str(tmp_path / "w.npz")
+    save_weights(p, params)
+    back = load_weights(p, jax.tree_util.tree_map(np.zeros_like, params))
+    np.testing.assert_array_equal(back["hash_table"]["grid3d"],
+                                  np.asarray(params["hash_table"]["grid3d"]))
+    # simulate a pre-versioning artifact: strip the tag
+    data = dict(np.load(p))
+    data.pop("__triplane_layout__")
+    np.savez(p, **data)
+    back_v1 = load_weights(p, jax.tree_util.tree_map(np.zeros_like, params))
+    # the untagged file is treated as slot-major and permuted
+    from normal_clustering_nerf_tpu.models.triplane import (
+        convert_triplane_params_v1_to_v2,
+    )
+    expect = convert_triplane_params_v1_to_v2(
+        jax.tree_util.tree_map(np.asarray, params["hash_table"]))
+    np.testing.assert_array_equal(back_v1["hash_table"]["grid3d"],
+                                  expect["grid3d"])
