@@ -83,3 +83,33 @@ def test_loader_roundtrip(tmp_path):
     a = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
     b = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
     np.testing.assert_allclose(m(a, b), LPIPS(params)(a, b), rtol=1e-6)
+
+
+def test_lpips_column_lands_in_results_csv(tmp_path, monkeypatch):
+    """e2e: with a weights npz present, eval_lpips=True produces the
+    metric/lpips column in results.csv (the reference's results
+    contract, rgb_metrics.py:124-162 + train_nerf.py:685-704)."""
+    import csv
+
+    from normal_clustering_nerf_tpu.config import TrainConfig
+    from normal_clustering_nerf_tpu.metrics.metrics import NeRFMTMetricsPerIm
+    from normal_clustering_nerf_tpu.training.results import save_results_csv
+
+    path = tmp_path / "lpips_vgg.npz"
+    np.savez(path, **random_weights(3))
+    monkeypatch.setenv("NCNERF_LPIPS_WEIGHTS", str(path))
+
+    agg = NeRFMTMetricsPerIm(eval_lpips=True)
+    rng = np.random.default_rng(0)
+    img = rng.random((40, 40, 3)).astype(np.float32)
+    agg.update({"rgb": img}, {"rgb": np.clip(img + 0.05, 0, 1)})
+    out = agg.compute()
+    assert "lpips" in out and np.isfinite(out["lpips"])
+
+    csv_path = save_results_csv(str(tmp_path / "results.csv"), out,
+                                TrainConfig())
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert "metric/lpips" in rows[0]
+    assert np.isfinite(float(rows[0]["metric/lpips"]))
