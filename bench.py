@@ -272,6 +272,11 @@ def main():
         # the reference production loss config; see bench_history.jsonl)
         floor = 30.0
         assert out["psnr"] >= floor, f"PSNR gate failed: {out['psnr']} < {floor}"
+        # truncation gate: throughput must never be bought by silently
+        # dropping march samples (r4 verdict weak #7; measured 0.0026)
+        assert out["trunc_ray_frac"] <= 0.01, (
+            f"truncation gate failed: trunc_ray_frac "
+            f"{out['trunc_ray_frac']} > 0.01")
 
 
 if __name__ == "__main__":

@@ -58,18 +58,30 @@ def _trace_room(rays_o, rays_d, R):
 
     p = rays_o + best_t[:, None] * rays_d
     rgb = _WALL_COLORS[hit_wall]
-    # smooth band-limited texture so the radiance field has detail to
-    # learn. Deliberately NOT a hard checkerboard: step-edge textures
-    # are unresolvable at grazing incidence (a pixel ray crosses
-    # several tiles within one integration step dt), which capped
-    # train-view PSNR at ~19 dB under the crossing camera rig —
-    # an aliasing floor of the GT, not a model failure (round-3
-    # diagnosis). Wavelength 0.25 units >> surface crossing span.
-    tex = (
-        np.sin(2 * np.pi * 4 * p[:, 0])
-        + np.sin(2 * np.pi * 4 * p[:, 1] + 0.7)
-        + np.sin(2 * np.pi * 4 * p[:, 2] + 1.9)
-    ) / 3.0
+    # Band-limited multi-octave texture so the radiance field has
+    # detail to learn AND depth is identifiable at pixel scale.
+    # Deliberately NOT a hard checkerboard: step-edge textures are
+    # unresolvable at grazing incidence (a pixel ray crosses several
+    # tiles within one integration step dt), which capped train-view
+    # PSNR at ~19 dB under the crossing camera rig — an aliasing floor
+    # of the GT, not a model failure (round-3 diagnosis).
+    #
+    # The fine octaves are load-bearing for the Manhattan-clustering
+    # benchmark (round-5 diagnosis): with only the 0.25-wavelength
+    # base octave, a 0.015-unit depth error changes wall color by
+    # ~0.3% — rendered depth wandered at ~3x the pixel footprint and
+    # depth-triangle normals were noise (58 deg mean on a perfect
+    # room), so the clustering loss had no signal to grab. Octaves at
+    # 0.1/0.05 wavelength (~20/10 px per cycle at typical viewing
+    # distance) pin depth at the pixel scale while staying above the
+    # grazing-incidence aliasing floor.
+    def _oct(freq, amp, ph):
+        return amp * (
+            np.sin(2 * np.pi * freq * p[:, 0] + ph)
+            + np.sin(2 * np.pi * freq * p[:, 1] + ph + 0.7)
+            + np.sin(2 * np.pi * freq * p[:, 2] + ph + 1.9)
+        ) / 3.0
+    tex = (_oct(4, 1.0, 0.0) + _oct(10, 0.55, 2.1) + _oct(20, 0.3, 4.4)) / 1.85
     rgb = rgb * (0.675 + 0.325 * tex[:, None])
     normals = np.zeros((N, 3), np.float32)
     for w, (axis, sign) in enumerate(_WALLS):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from functools import lru_cache
 from typing import Optional
 
@@ -278,7 +279,7 @@ def render_train(
 
 @lru_cache(maxsize=64)
 def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
-                               use_sv=False, rounds=1, sv_intervals=8):
+                               use_sv=False, sv_intervals=8):
     """Jitted alive-compacted march+eval+composite block of `rounds`
     rounds.
 
@@ -290,11 +291,11 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
     window from each cursor, selects the first `K` occupied samples per
     ray, and evaluates the field on exactly B*K sample slots — so
     converged rays cost no network evals and per-round work shrinks
-    with the alive set. `rounds` rounds run inside ONE dispatch via
-    lax.fori_loop (the host round-trip — dispatch + n_alive fetch —
-    was the dominant cost of the whole test renderer on a tunneled
-    TPU: 749 rays/s in round 3). Compiled once per (B, K, rounds)
-    bucket and cached.
+    with the alive set. A RUNTIME trip count `r_dyn` of rounds runs
+    inside ONE dispatch via lax.fori_loop (the host round-trip —
+    dispatch + n_alive fetch — was the dominant cost of the whole test
+    renderer on a tunneled TPU: 749 rays/s in round 3). Compiled once
+    per (B, K) bucket and cached.
     """
     from .ngp_mt import NGPMT
 
@@ -379,8 +380,14 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
         n_eff = jnp.sum(jnp.where(sel[:, None], svalid, False))
         return cursor, alive, opacity, depth, rend, n_eff
 
-    def block_fn(params, occ_tables, rays_o, rays_d, t2,
+    def block_fn(r_dyn, params, occ_tables, rays_o, rays_d, t2,
                  cursor, alive, opacity, depth, rend, exposure=None):
+        # r_dyn is a RUNTIME trip count (fori_loop lowers to while):
+        # the host varies rounds-per-dispatch freely (wide regime 1,
+        # narrow tail test_rounds_per_dispatch, budget-clamped last
+        # dispatch) without multiplying compiled variants — the r4
+        # ladder compiled a distinct program per (B, K, R) triple,
+        # which is exactly the 160 s cold-render bill
         def body(_, carry):
             cursor, alive, opacity, depth, rend, n_eff = carry
             cursor, alive, opacity, depth, rend, ne = one_round(
@@ -389,14 +396,74 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
             return cursor, alive, opacity, depth, rend, n_eff + ne
         carry = (cursor, alive, opacity, depth, rend,
                  jnp.zeros((), jnp.int32))
-        if rounds == 1:
-            carry = body(0, carry)
-        else:
-            carry = jax.lax.fori_loop(0, rounds, body, carry)
+        carry = jax.lax.fori_loop(0, r_dyn, body, carry)
         cursor, alive, opacity, depth, rend, n_eff = carry
         return cursor, alive, opacity, depth, rend, n_eff, jnp.sum(alive)
 
     return jax.jit(block_fn)
+
+
+# ---- concurrent bucket-ladder precompilation -----------------------
+# The dense ladder needs ~9 (B, K) programs per chunk size; compiled
+# serially on first render they were the 160 s cold start (r4 bench).
+# All rungs share IDENTICAL input avals (B and K are constants baked
+# into the traced program, not argument shapes), so every rung can be
+# lowered+compiled concurrently in background threads the moment the
+# driver knows N — overlapping the whole ladder build with the
+# first full-width rounds' device execution.
+_EXEC_POOL = ThreadPoolExecutor(max_workers=8)
+_EXEC_FUTURES: dict = {}
+
+
+def _avals_of(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        tree)
+
+
+def _bucket_ladder_BK(N, min_samples, S_march, use_sv):
+    """Every (B, K) the dense-ladder driver can request for chunk N."""
+    ladder, b = [], max(min(N, 256), 256)
+    while b < N:
+        ladder.append(b)
+        b *= 2
+    ladder.append(N)
+    out = []
+    for B in ladder:
+        K = max(min(N // B, 64), min_samples)
+        if B == N:
+            K = min(2 * K, 64)
+        if not use_sv:
+            K = min(K, S_march)
+        out.append((B, K))
+    return out
+
+
+def _bucket_exec(static_key, arg_avals):
+    """AOT-compiled executable for one ladder rung, compiled in a
+    background thread; falls back to the plain jit call on failure."""
+    key = (jax.default_backend(), static_key,
+           tuple((tuple(a.shape), str(a.dtype))
+                 for a in jax.tree_util.tree_leaves(arg_avals)))
+    fut = _EXEC_FUTURES.get(key)
+    if fut is None:
+        fut = _submit_bucket_compile(static_key, arg_avals)
+    try:
+        return fut.result()
+    except Exception:
+        return _make_test_round_bucket_fn(*static_key)
+
+
+def _submit_bucket_compile(static_key, arg_avals):
+    key = (jax.default_backend(), static_key,
+           tuple((tuple(a.shape), str(a.dtype))
+                 for a in jax.tree_util.tree_leaves(arg_avals)))
+    fut = _EXEC_FUTURES.get(key)
+    if fut is None:
+        fn = _make_test_round_bucket_fn(*static_key)
+        fut = _EXEC_POOL.submit(lambda: fn.lower(*arg_avals).compile())
+        _EXEC_FUTURES[key] = fut
+    return fut
 
 
 @lru_cache(maxsize=32)
@@ -502,6 +569,22 @@ def render_test(
             ladder.append(b)
             b *= 2
         ladder.append(N)
+        # kick off compilation of EVERY rung the ladder can request,
+        # concurrently, before the first dispatch: the rungs share
+        # input avals, so the whole ladder builds in background threads
+        # while the full-width rounds execute (was: serial compile per
+        # rung on first use = the 160 s cold render)
+        base_args = (jnp.int32(1), params, occ_tables, rays_o, rays_d, t2,
+                     cursor, alive, opacity, depth, rend)
+        if exposure is not None:
+            base_args = base_args + (exposure,)
+        arg_avals = _avals_of(base_args)
+        static_keys = {}
+        for Bp, Kp in _bucket_ladder_BK(N, min_samples, S_march, use_sv):
+            skey = (cfg, rcfg.T_threshold, Bp, Kp, S_march,
+                    exposure is not None, use_sv, rcfg.test_sv_intervals)
+            static_keys[(Bp, Kp)] = skey
+            _submit_bucket_compile(skey, arg_avals)
         # no initial device->host count fetch: round 1 is full-width
         # for any plausible alive set, and every tunnel RTT costs
         # ~50-80 ms of wall time
@@ -547,11 +630,9 @@ def render_test(
             R = 1 if (first or B > N // 8) else max(
                 rcfg.test_rounds_per_dispatch, 1)
             R = min(R, max((cfg.max_samples - samples) // K, 1))
-            round_fn = _make_test_round_bucket_fn(
-                cfg, rcfg.T_threshold, B, K, S_march, exposure is not None,
-                use_sv, R, rcfg.test_sv_intervals)
+            round_fn = _bucket_exec(static_keys[(B, K)], arg_avals)
             cursor, alive, opacity, depth, rend, n_eff, n_alive_dev = round_fn(
-                params, occ_tables, rays_o, rays_d, t2,
+                jnp.int32(R), params, occ_tables, rays_o, rays_d, t2,
                 cursor, alive, opacity, depth, rend,
                 *((exposure,) if exposure is not None else ()),
             )
