@@ -134,7 +134,8 @@ def main():
     ap.add_argument("--profile", type=str, default="")
     ap.add_argument("--num_chips", type=int, default=1)
     ap.add_argument("--skip-quality", action="store_true")
-    ap.add_argument("--compute_dtype", type=str, default="float32")
+    ap.add_argument("--compute_dtype", type=str, default="bfloat16",
+                help="bf16 is the TPU-native default: +14% over f32 at passing quality gates (bf16 table rows halve encode HBM traffic)")
     ap.add_argument("--hash_layout", type=str, default="triplane",
                     choices=["brick", "tcnn", "triplane"])
     ap.add_argument("--batch", type=int, default=8192)
@@ -215,6 +216,13 @@ def main():
         out["rays_per_s_per_chip"] = round(rays_per_s / args.num_chips, 1)
 
     if not args.skip_quality:
+        # background-compile the test-render bucket ladder NOW (after
+        # the timed window, so compile-server contention can't skew the
+        # throughput number): the compiles overlap the remaining
+        # training, so the quality-gate render pays no ladder-compile
+        # latency (was the 160 s r4 cold start; measured 23 s true-cold
+        # with a fresh compile cache after this prewarm)
+        trainer.prewarm_render()
         # finish a real training run, then gate on held-out quality
         # 4000 steps: the clustering ramp (start 500, grow 2500)
         # reaches full weight at 3000 and needs ~1000 full-weight

@@ -34,11 +34,11 @@ class OccupancyState(NamedTuple):
     coarse_occ: jnp.ndarray      # ((G/8)^3,) uint8
     # Supervoxel-run march tables (ops/ray_march.py sv path), cascade 0:
     # sv_mask is UNdilated supervoxel occupancy; sv_payload packs each
-    # supervoxel's 8^3 fine bits as 32 lanes of 16-bit words (int32),
-    # bit L = (lz*8+ly)*8+lx at word L>>4, bit L&15 — one row gather
+    # supervoxel's 8^3 fine bits as 16 lanes of 32-bit words (int32),
+    # bit L = (lz*8+ly)*8+lx at word L>>5, bit L&31 — one row gather
     # yields every fine bit of a supervoxel.
     sv_mask: jnp.ndarray         # ((G/8)^3,) uint8
-    sv_payload: jnp.ndarray      # ((G/8)^3, 32) int32
+    sv_payload: jnp.ndarray      # ((G/8)^3, 16) int32
 
 
 def coarse_occupancy(bitfield: jnp.ndarray, grid_size: int) -> jnp.ndarray:
@@ -70,10 +70,14 @@ def supervoxel_tables(bitfield: jnp.ndarray, grid_size: int):
 
     sv_payload row for supervoxel (zc, yc, xc) (flat id
     (zc*Gc + yc)*Gc + xc, matching the fine [z, y, x]-linear layout)
-    packs its 8^3 fine occupancy bits into 32 int32 lanes holding
-    16-bit words: local cell (lx, ly, lz) is bit L = (lz*8+ly)*8+lx,
-    stored at lane L>>4, bit L&15 (extracted with an integer vector
-    shift in ops/ray_march.py — exact, unlike float exp2 tricks).
+    packs its 8^3 fine occupancy bits into 16 int32 lanes holding full
+    32-bit words: local cell (lx, ly, lz) is bit L = (lz*8+ly)*8+lx,
+    stored at lane L>>5, bit L&31 (extracted with an integer vector
+    shift in ops/ray_march.py — exact, unlike float exp2 tricks; the
+    two's-complement arithmetic shift delivers bit 31 correctly).
+    16 wide words instead of the r4 32 half-words: the per-step
+    one-hot word select in _sv_scan phase B is O(lanes) VPU work and
+    was 1.0 ms/step at 32 lanes (PROFILE_r05.md).
     sv_mask is the UNdilated per-supervoxel any-bit mask.
     """
     G = grid_size
@@ -84,8 +88,11 @@ def supervoxel_tables(bitfield: jnp.ndarray, grid_size: int):
     blk = occ.reshape(Gc, 8, Gc, 8, Gc, 8)             # (zc,lz,yc,ly,xc,lx)
     blk = blk.transpose(0, 2, 4, 1, 3, 5)              # (zc,yc,xc,lz,ly,lx)
     flat = blk.reshape(Gc ** 3, 512)                   # bit L ordering
-    w16 = jnp.asarray([1 << i for i in range(16)], jnp.int32)
-    payload = jnp.sum(flat.reshape(Gc ** 3, 32, 16) * w16, axis=-1,
+    # 1 << 31 wraps to int32 min: exact two's-complement bit pattern
+    # (each power appears at most once, so the sum has no carries)
+    w32 = jnp.left_shift(jnp.int32(1),
+                         jnp.arange(32, dtype=jnp.int32))
+    payload = jnp.sum(flat.reshape(Gc ** 3, 16, 32) * w32, axis=-1,
                       dtype=jnp.int32)
     mask = (jnp.max(flat, axis=-1) > 0).astype(jnp.uint8)
     return mask, payload
@@ -109,7 +116,7 @@ class OccupancyGrid:
             count_grid=jnp.zeros((self.cascades, G3), jnp.float32),
             coarse_occ=jnp.zeros((Gc3,), jnp.uint8),
             sv_mask=jnp.zeros((Gc3,), jnp.uint8),
-            sv_payload=jnp.zeros((Gc3, 32), jnp.int32),
+            sv_payload=jnp.zeros((Gc3, 16), jnp.int32),
         )
 
     # ------------------------------------------------------------ geometry

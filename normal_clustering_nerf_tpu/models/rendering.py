@@ -411,8 +411,25 @@ def _make_test_round_bucket_fn(mcfg, T_threshold, B, K, S_march, with_exposure,
 # lowered+compiled concurrently in background threads the moment the
 # driver knows N — overlapping the whole ladder build with the
 # first full-width rounds' device execution.
-_EXEC_POOL = ThreadPoolExecutor(max_workers=8)
+# 3 workers, not 8: this image's compiles go through a remote-compile
+# HTTP endpoint that drops connections under heavy concurrent load
+# (observed: "response body closed before all bytes were read" killing
+# the MAIN thread's train-step compile while 8 ladder compiles were in
+# flight). 3 background compiles + the main thread stays reliable and
+# still overlaps the ladder build with training/render execution.
+_EXEC_POOL = ThreadPoolExecutor(max_workers=3)
 _EXEC_FUTURES: dict = {}
+
+
+def _compile_with_retry(fn, arg_avals, attempts=3):
+    for i in range(attempts):
+        try:
+            return fn.lower(*arg_avals).compile()
+        except Exception:
+            if i == attempts - 1:
+                raise
+            import time as _time
+            _time.sleep(1.0 + i)
 
 
 def _avals_of(tree):
@@ -439,19 +456,28 @@ def _bucket_ladder_BK(N, min_samples, S_march, use_sv):
     return out
 
 
+def _exec_key(static_key, arg_avals):
+    return (jax.default_backend(), static_key,
+            tuple((tuple(a.shape), str(a.dtype))
+                  for a in jax.tree_util.tree_leaves(arg_avals)))
+
+
 def _bucket_exec(static_key, arg_avals):
     """AOT-compiled executable for one ladder rung, compiled in a
     background thread; falls back to the plain jit call on failure."""
-    key = (jax.default_backend(), static_key,
-           tuple((tuple(a.shape), str(a.dtype))
-                 for a in jax.tree_util.tree_leaves(arg_avals)))
-    fut = _EXEC_FUTURES.get(key)
+    fut = _EXEC_FUTURES.get(_exec_key(static_key, arg_avals))
     if fut is None:
         fut = _submit_bucket_compile(static_key, arg_avals)
     try:
         return fut.result()
     except Exception:
         return _make_test_round_bucket_fn(*static_key)
+
+
+def _bucket_ready(static_key, arg_avals) -> bool:
+    """True iff this rung's executable is compiled and usable NOW."""
+    fut = _EXEC_FUTURES.get(_exec_key(static_key, arg_avals))
+    return fut is not None and fut.done() and fut.exception() is None
 
 
 def _submit_bucket_compile(static_key, arg_avals):
@@ -461,7 +487,7 @@ def _submit_bucket_compile(static_key, arg_avals):
     fut = _EXEC_FUTURES.get(key)
     if fut is None:
         fn = _make_test_round_bucket_fn(*static_key)
-        fut = _EXEC_POOL.submit(lambda: fn.lower(*arg_avals).compile())
+        fut = _EXEC_POOL.submit(_compile_with_retry, fn, arg_avals)
         _EXEC_FUTURES[key] = fut
     return fut
 
@@ -501,6 +527,47 @@ def _make_test_round_fn(mcfg, T_threshold, n_steps, budget, with_exposure):
         return new_cursor, alive, opacity, depth, rend, jnp.sum(mres.ray_count)
 
     return jax.jit(round_fn)
+
+
+def prewarm_test_render(model, params, rcfg: RenderConfig, n_rays: int, *,
+                        bitfield=None, sv_mask=None, sv_payload=None):
+    """Submit background compiles for every bucket-ladder rung the test
+    renderer will need for `n_rays` total rays (chunked by test_chunk).
+
+    Call this before/at the start of training: compilation overlaps the
+    whole training run on host threads, so the first validate/render
+    pays ZERO ladder-compile latency instead of the 60-160 s cold start
+    (the avals here must mirror render_test's buffer init exactly —
+    pytree dict keys are sorted by jax, so insertion order is free).
+    """
+    cfg = model.cfg
+    C = cfg.rend_channels
+    sd = jax.ShapeDtypeStruct
+    use_sv = (rcfg.march_coarse and sv_mask is not None
+              and cfg.cascades == 1 and cfg.exp_step_factor == 0.0
+              and cfg.grid_size % 8 == 0)
+    p_avals = jax.tree_util.tree_map(
+        lambda a: sd(jnp.shape(a), jnp.result_type(a)), params)
+    occ_avals = ({"sv_mask": sd(jnp.shape(sv_mask), jnp.uint8),
+                  "sv_payload": sd(jnp.shape(sv_payload), jnp.int32)}
+                 if use_sv else
+                 {"bitfield": sd(jnp.shape(bitfield), jnp.uint8)})
+    min_samples = max(1 if cfg.exp_step_factor == 0 else 4,
+                      rcfg.test_min_k)
+    S_march = rcfg.test_march_window
+    chunk = rcfg.test_chunk
+    sizes = {min(chunk, n_rays - i) for i in range(0, n_rays, chunk)}
+    for N in sizes:
+        fv = sd((N,), jnp.float32)
+        avals = (sd((), jnp.int32), p_avals, occ_avals,
+                 sd((N, 3), jnp.float32), sd((N, 3), jnp.float32), fv,
+                 fv, sd((N,), jnp.bool_), fv, fv,
+                 sd((N, C), jnp.float32))
+        for Bp, Kp in reversed(
+                _bucket_ladder_BK(N, min_samples, S_march, use_sv)):
+            skey = (cfg, rcfg.T_threshold, Bp, Kp, S_march, False, use_sv,
+                    rcfg.test_sv_intervals)
+            _submit_bucket_compile(skey, avals)
 
 
 def render_test(
@@ -563,24 +630,22 @@ def render_test(
         # and N alive rays padded up to B=N. A dense ladder costs more
         # distinct (B, K) compiles, but those are one-time via the
         # persistent compile cache (VERDICT r2's churn predates it).
-        ladder = []
-        b = max(min(N, 256), 256)
-        while b < N:
-            ladder.append(b)
-            b *= 2
-        ladder.append(N)
         # kick off compilation of EVERY rung the ladder can request,
         # concurrently, before the first dispatch: the rungs share
         # input avals, so the whole ladder builds in background threads
         # while the full-width rounds execute (was: serial compile per
-        # rung on first use = the 160 s cold render)
+        # rung on first use = the 160 s cold render). Submitted widest
+        # first — the order the crashing alive set needs them.
         base_args = (jnp.int32(1), params, occ_tables, rays_o, rays_d, t2,
                      cursor, alive, opacity, depth, rend)
         if exposure is not None:
             base_args = base_args + (exposure,)
         arg_avals = _avals_of(base_args)
+        rungs = _bucket_ladder_BK(N, min_samples, S_march, use_sv)
+        ladder = [b for b, _ in rungs]
+        _ladder_K = dict(rungs)
         static_keys = {}
-        for Bp, Kp in _bucket_ladder_BK(N, min_samples, S_march, use_sv):
+        for Bp, Kp in reversed(rungs):
             skey = (cfg, rcfg.T_threshold, Bp, Kp, S_march,
                     exposure is not None, use_sv, rcfg.test_sv_intervals)
             static_keys[(Bp, Kp)] = skey
@@ -604,23 +669,25 @@ def render_test(
         # round i-1's count overlaps round i's device execution.
         pending_alive_dev = None
         while samples < cfg.max_samples and n_alive > 0:
-            B = next(b for b in ladder if b >= n_alive)
-            K = max(min(N // B, 64), min_samples)
-            if B == N:
-                # full-width rounds take DOUBLE samples: each dispatch
-                # through the tunneled chip costs ~65 ms of host
-                # latency, and two K-sample full-width rounds do the
-                # same device work as one 2K round — so spend the
-                # sample budget in half the dispatches while the alive
-                # set is still wide
-                K = min(2 * K, 64)
-            if not use_sv:
-                # the non-sv bucket path selects K occupied samples out
-                # of an S_march-step probe window: top_k requires
-                # K <= S_march (configs with test_march_window < 64
-                # crashed here in r4 — the production window of 128
-                # masked it)
-                K = min(K, S_march)
+            # opportunistic rung choice: the finest ALREADY-COMPILED
+            # rung >= n_alive, falling back wider. On a true-cold
+            # render only the full-width rung (needed by round 1
+            # regardless) blocks on its compile; narrow rungs join the
+            # ladder as their background compiles land, so compile
+            # latency stays off the critical path (the r4/r5 cold
+            # renders serialized ~9 rung compiles, 160 s).
+            candidates = [b for b in ladder if b >= n_alive]
+            B = next(
+                (b for b in candidates
+                 if _bucket_ready(static_keys[(b, _ladder_K[b])], arg_avals)),
+                N)
+            # K per rung comes from _bucket_ladder_BK: the reference's
+            # adaptive N//B capped at 64, doubled for full-width rounds
+            # (two K-sample full-width dispatches through the ~65 ms
+            # tunnel do the same device work as one 2K round), and
+            # clamped to the S_march probe window on the non-sv path
+            # (top_k requires K <= S_march; windows < 64 crashed in r4)
+            K = _ladder_K[B]
             # Wide dispatches (B > N/8) run ONE round each so the host
             # re-buckets while the alive set is crashing — one wasted
             # full-width round costs ~100 ms, dwarfing the ~ms

@@ -169,31 +169,41 @@ def _slot_fold(rows, w):
     """
     M, FS = rows.shape
     S = w.shape[1]
-    return jnp.sum(rows.reshape(M, FS // S, S) * w[:, None, :], axis=2)
+    w = w.astype(rows.dtype)  # bf16 tables: multiply in bf16, accum f32
+    return jnp.sum(rows.reshape(M, FS // S, S) * w[:, None, :], axis=2,
+                   dtype=jnp.float32)
 
 
-def _encode_impl(params, x, spec: TriplaneSpec):
+def _encode_impl(params, x, spec: TriplaneSpec, table_dtype=jnp.float32):
+    # bf16 table rows halve the gather + layout-copy HBM traffic of the
+    # encode (the r5 profile's #2 cost block after the backward
+    # scatters); the cast of the full table is one cheap streaming pass
+    # and the fold accumulates in f32. Master weights stay f32 (the
+    # reference's tcnn runs fp16 tables in production, ngp_mt.py:70-82).
+    planes = params["planes"].astype(table_dtype)
+    grid3d = params["grid3d"].astype(table_dtype)
     feats = []
     for pi, (a, b) in enumerate(_PLANES):
         row, w16, _ = _plane_geometry(x[:, (a, b)], spec)
-        rows = params["planes"][pi][row]                    # (M, 128)
+        rows = planes[pi][row]                              # (M, 128)
         feats.append(_slot_fold(rows, w16))
     grow, w64, _ = _grid_geometry(x, spec)
-    g_rows = params["grid3d"][grow]                         # (M, 64*Fg)
+    g_rows = grid3d[grow]                                   # (M, 64*Fg)
     feats.append(_slot_fold(g_rows, w64))
     return jnp.concatenate(feats, axis=1)                   # (M, 3Fp+Fg)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def triplane_encode_vjp(params, x, spec: TriplaneSpec, need_dx: bool = False):
-    return _encode_impl(params, x, spec)
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def triplane_encode_vjp(params, x, spec: TriplaneSpec, need_dx: bool = False,
+                        table_dtype=jnp.float32):
+    return _encode_impl(params, x, spec, table_dtype)
 
 
-def _tp_fwd(params, x, spec, need_dx):
-    return _encode_impl(params, x, spec), (params, x)
+def _tp_fwd(params, x, spec, need_dx, table_dtype):
+    return _encode_impl(params, x, spec, table_dtype), (params, x)
 
 
-def _tp_bwd(spec, need_dx, res, g):
+def _tp_bwd(spec, need_dx, table_dtype, res, g):
     params, x = res
     M = x.shape[0]
     Fp, Fg = spec.plane_feats, spec.grid3d_feats
@@ -236,8 +246,14 @@ triplane_encode_vjp.defvjp(_tp_fwd, _tp_bwd)
 
 def triplane_encode(params, x, spec: TriplaneSpec, compute_dtype=jnp.float32,
                     need_dx: bool = False):
-    """Encode (M, 3) positions in [0,1]^3 -> (M, 3*Fp+Fg) features."""
-    return triplane_encode_vjp(params, x, spec, need_dx).astype(compute_dtype)
+    """Encode (M, 3) positions in [0,1]^3 -> (M, 3*Fp+Fg) features.
+
+    Under a bf16 compute dtype the table rows are also fetched in bf16
+    (see _encode_impl); fold accumulation and gradients stay f32."""
+    table_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                   else jnp.float32)
+    return triplane_encode_vjp(
+        params, x, spec, need_dx, table_dtype).astype(compute_dtype)
 
 
 def triplane_encode_reference_np(params, x, spec: TriplaneSpec):

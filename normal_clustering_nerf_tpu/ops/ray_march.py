@@ -677,7 +677,7 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
     # where-select, NOT multiply: b0/b1 pad with +inf and 0*inf = NaN
     ts_r = jnp.sum(jnp.where(oh_iv, b0[:, None, :], 0.0), axis=-1)
     svid_r = jnp.sum(oh_iv.astype(jnp.int32) * sv_id[:, None, :], axis=-1)
-    payload = sv_payload[svid_r]                              # (N, RI, 32) int32
+    payload = sv_payload[svid_r]                              # (N, RI, 16) int32
     szc = svid_r // (Gc * Gc)
     syc = (svid_r // Gc) % Gc
     sxc = svid_r % Gc
@@ -709,11 +709,14 @@ def _sv_scan(rays_o, rays_d, t0, t_end, hit, sv_mask, sv_payload, *,
         loc.append(cell_a - 8 * svc_sel[:, :, None])          # local [0,8)
     lx, ly, lz = loc
     L = (lz * 8 + ly) * 8 + lx                                # [0, 512)
-    w_idx = L >> 4
-    b_idx = L & 15
+    # 16 words x 32 bits (occupancy.py supervoxel_tables): the one-hot
+    # word select is O(words) VPU work per step — 16 wide words halve
+    # the r4 32-half-word layout's cost (1.0 ms/step, PROFILE_r05.md)
+    w_idx = L >> 5
+    b_idx = L & 31
 
-    lanes = jnp.arange(32, dtype=jnp.int32)
-    onehot = (w_idx[..., None] == lanes).astype(jnp.int32)    # (N,RI,SI,32)
+    lanes = jnp.arange(16, dtype=jnp.int32)
+    onehot = (w_idx[..., None] == lanes).astype(jnp.int32)    # (N,RI,SI,16)
     word = jnp.sum(payload[:, :, None, :] * onehot, axis=-1)  # (N,RI,SI)
     # integer bit extraction (vector shift on the VPU, no gathers).
     # NB: the previous floor(word * exp2(-b)) % 2 float trick was NOT

@@ -30,7 +30,9 @@ from ..losses import compute_losses
 from ..metrics import NeRFMTMetricsPerIm
 from ..models.ngp_mt import NGPMT
 from ..models.occupancy import OccupancyGrid
-from ..models.rendering import render_test, render_train
+from ..models.rendering import (
+    prewarm_test_render, render_test, render_train,
+)
 from .state import TrainState, create_train_state
 
 
@@ -181,6 +183,7 @@ class Trainer:
                 for b in (False, True)
             }
         self.R_offset = self._build_R_offset()
+        self._prewarmed = False
 
     def step_fns(self, step: int):
         """(step_fn, chunk_fn) for host step counter `step` — the coarse
@@ -380,6 +383,20 @@ class Trainer:
         return new_state, metrics
 
     # ------------------------------------------------------------------ fit
+    def prewarm_render(self, n_rays: Optional[int] = None):
+        """Kick off background compilation of the test renderer's bucket
+        ladder so the first validate/render pays no compile latency
+        (compiles overlap training on host threads)."""
+        scene = self.scene_test or self.scene_train
+        if n_rays is None:
+            W, H = scene.img_wh
+            n_rays = scene.n_images * W * H
+        prewarm_test_render(
+            self.model, self.state.params["model"], self.cfg.render, n_rays,
+            bitfield=self.state.occ.density_bitfield,
+            sv_mask=self.state.occ.sv_mask,
+            sv_payload=self.state.occ.sv_payload)
+
     def fit(self, log_every: int = 100, log_fn=print, logger=None):
         cfg = self.cfg
         total = cfg.optim.num_epochs * cfg.optim.steps_per_epoch
@@ -388,8 +405,16 @@ class Trainer:
         metrics = {}
         interval = cfg.optim.update_interval
         step = int(self.state.step)
+        start_step = step
         last_log = step
         while step < total:
+            if step > start_step and not self._prewarmed:
+                # ladder compiles start AFTER the first train-step
+                # compile: the remote-compile endpoint drops connections
+                # under concurrent load, and a dropped MAIN-thread
+                # compile is fatal (background ladder compiles retry)
+                self._prewarmed = True
+                self.prewarm_render()
             if step % interval == 0:
                 warm = step < cfg.optim.warmup_steps
                 k = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5EED), step)
