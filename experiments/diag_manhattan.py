@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--triang_expand", type=int, default=0)
     ap.add_argument("--sem_w", type=float, default=0.04)
     ap.add_argument("--hash_layout", type=str, default="triplane")
+    ap.add_argument("--compute_dtype", type=str, default="float32")
+    ap.add_argument("--samples_per_ray", type=int, default=32)
     ap.add_argument("--sv_intervals", type=int, default=24)
     ap.add_argument("--dump", type=str, default="",
                     help="npz path for depth/normal maps of view 0")
@@ -77,9 +79,10 @@ def main():
             scale=0.5, grid_size=128, max_samples=1024,
             pred_norm_nn=True, pred_norm_depth=True, pred_sem=True,
             n_sem_cls=3, hash_layout=args.hash_layout,
+            compute_dtype=args.compute_dtype,
         ),
         render=RenderConfig(march_block=1024,
-                            sample_budget=args.batch * 32,
+                            sample_budget=args.batch * args.samples_per_ray,
                             sv_intervals=args.sv_intervals,
                             anneal_strategy=args.anneal,
                             anneal_steps=600 if args.anneal != "none" else 0),
@@ -190,7 +193,8 @@ def main():
 
     if args.dump:
         np.savez(args.dump, depth=depth[0], gtd=gtd[0], nd=nd[0],
-                 gtn=gtn[0], same=same[0], dtr=dtr[0])
+                 gtn=gtn[0], same=same[0], dtr=dtr[0], nd_all=nd,
+                 gtn_all=gtn)
         _log(f"dumped maps to {args.dump}")
 
     print(json.dumps(out))

@@ -207,6 +207,13 @@ def _tp_bwd(spec, need_dx, table_dtype, res, g):
     params, x = res
     M = x.shape[0]
     Fp, Fg = spec.plane_feats, spec.grid3d_feats
+    # Under bf16 tables the gradient scatter-adds also accumulate in
+    # bf16 (cast back to f32 after — one streaming pass over the table
+    # vs M scattered rows). This is tcnn's production behavior (fp16
+    # hash-table gradients, reference models/ngp_mt.py:70-82) and
+    # halves the scatter's per-row write traffic; the ~11 ns/index
+    # fixed cost remains (probe_scatter.py), so the win is ~10-15%.
+    acc_dtype = table_dtype
     d_planes = []
     dx = jnp.zeros((M, 3), jnp.float32)
     for pi, (a, b) in enumerate(_PLANES):
@@ -216,8 +223,9 @@ def _tp_bwd(spec, need_dx, table_dtype, res, g):
         # pass, row layout matching _slot_fold) — not repeat*tile,
         # which materialized two extra (M, 128) intermediates
         upd = (g_p[:, :, None] * w16[:, None, :]).reshape(M, Fp * 16)
-        d_pl = jnp.zeros((spec.nb2 ** 2, 128), jnp.float32)
-        d_planes.append(d_pl.at[row].add(upd))
+        d_pl = jnp.zeros((spec.nb2 ** 2, 128), acc_dtype)
+        d_planes.append(
+            d_pl.at[row].add(upd.astype(acc_dtype)).astype(jnp.float32))
         # position grads (extrinsic optimization) via the dw terms
         if need_dx:
             rows = params["planes"][pi][row].reshape(M, Fp, 16)
@@ -229,7 +237,8 @@ def _tp_bwd(spec, need_dx, table_dtype, res, g):
     grow, w64, (dwx, dwy, dwz) = _grid_geometry(x, spec)
     g_g = g[:, 3 * Fp:]
     updg = (g_g[:, :, None] * w64[:, None, :]).reshape(M, Fg * 64)
-    d_grid = jnp.zeros((spec.nb3 ** 3, 64 * Fg), jnp.float32).at[grow].add(updg)
+    d_grid = (jnp.zeros((spec.nb3 ** 3, 64 * Fg), acc_dtype)
+              .at[grow].add(updg.astype(acc_dtype)).astype(jnp.float32))
     if need_dx:
         rows = params["grid3d"][grow].reshape(M, Fg, 64)
         gd = jnp.einsum("mfs,mf->ms", rows, g_g)

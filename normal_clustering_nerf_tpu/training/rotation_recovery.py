@@ -42,7 +42,16 @@ def recover_rotation(normals: np.ndarray, key, K=30, niter=30,
             n_j, valid_j, jax.random.fold_in(key, r), K=K, niter=niter,
             t_similar=t_similar,
         )
-        C = np.asarray(res.centroids3).T       # columns = centroids
+        C = np.asarray(res.centroids3, np.float64).T  # columns = centroids
+        if np.linalg.det(C) < 0:
+            # wall normals constrain axis directions only up to sign:
+            # a left-handed centroid triple is equivalent to the
+            # right-handed one with a column flipped, but SVD-projecting
+            # the improper matrix directly produces a garbage rotation
+            # ~45 deg from every axis (r5 bug — recovery failed at
+            # 40 deg on 6-deg-median normals whenever k-means happened
+            # to deliver det < 0, which is a fair coin per draw)
+            C[:, 2] *= -1.0
         R = project_to_SO3(C)
         score = float(np.mean(np.max(np.abs(nv @ R), axis=-1)))
         if score > best_score:
@@ -69,7 +78,27 @@ def rotation_recovery_errors(normals: np.ndarray, R_offset: np.ndarray,
         used.add(best)
         sign = np.sign(float(R_rec[:, best] @ R_off[:, j])) or 1.0
         cols.append(sign * R_rec[:, best])
-    R_matched = project_to_SO3(np.stack(cols, axis=1))
+    M = np.stack(cols, axis=1)
+    # Wall normals constrain the frame's AXIS DIRECTIONS only up to
+    # sign, so the greedy per-column sign pick can produce a LEFT-handed
+    # triple; project_to_SO3's det=+1 correction then silently warps
+    # the frame by ~40-180 deg (r5 bug: recovery failed at 40 deg on
+    # 6-deg-median normals whenever the k-means draw delivered an
+    # improper triple). Resolve the ambiguity by enumerating the
+    # proper-rotation sign choices and keeping the one closest to
+    # R_offset (the reference notes the same ambiguity,
+    # train_nerf.py:507-510).
+    candidates = []
+    for flips in ((), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2), (0, 1, 2)):
+        Mc = M.copy()
+        for f in flips:
+            Mc[:, f] *= -1.0
+        if np.linalg.det(Mc) <= 0:
+            continue
+        Rc = project_to_SO3(Mc)
+        cos = np.clip((np.trace(Rc @ R_off.T) - 1.0) / 2.0, -1.0, 1.0)
+        candidates.append((float(np.arccos(cos)), Rc))
+    R_matched = min(candidates, key=lambda t: t[0])[1]
     # residual rotation and its ZYX euler decomposition
     R_err = R_matched @ R_off.T
     ang = matrix_to_euler_angles(R_err, "ZYX") * 180.0 / math.pi

@@ -76,3 +76,33 @@ def test_rotation_recovery_identity_without_offset():
         normals, np.eye(3, dtype=np.float32), jax.random.PRNGKey(7))
     for k, v in errs.items():
         assert v < 3.0, (k, v, errs)
+
+
+def test_rotation_recovery_handles_left_handed_triples(rng):
+    """The dominant-centroid triple's handedness is a fair coin per
+    k-means draw (wall normals fix axis directions only up to sign);
+    SVD-projecting an improper triple used to produce a ~40 deg frame
+    (r5 bug). Recovery must be accurate for EVERY draw."""
+    import jax
+
+    from normal_clustering_nerf_tpu.training.rotation_recovery import (
+        rotation_recovery_errors,
+    )
+
+    # room-like population: three orthogonal axis families with noise,
+    # mixed signs (inward-facing walls), unequal sizes
+    axes = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, 0, 1], [0, 0, -1]], np.float64)
+    counts = [4000, 3000, 2500, 3500, 2000]
+    pts = []
+    for a, c in zip(axes, counts):
+        v = a[None, :] + 0.08 * rng.standard_normal((c, 3))
+        pts.append(v / np.linalg.norm(v, axis=-1, keepdims=True))
+    normals = np.concatenate(pts).astype(np.float32)
+    for seed in range(6):  # several draws: both handedness outcomes
+        out = rotation_recovery_errors(
+            normals, np.eye(3, dtype=np.float32), jax.random.PRNGKey(seed))
+        for k, v in out.items():
+            # the bug regime was 20-40 deg; ~5 deg is genuine centroid
+            # estimation error at this noise level (0.08 rad ~ 4.6 deg)
+            assert v < 8.0, (seed, k, v)
