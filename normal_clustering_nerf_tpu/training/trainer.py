@@ -493,12 +493,29 @@ class Trainer:
                 sv_mask=self.state.occ.sv_mask,
                 sv_payload=self.state.occ.sv_payload,
             ))
-        cat = {}
-        for k in outs[0]:
-            if k == "total_samples":
-                cat[k] = sum(int(o[k]) for o in outs)
-            else:
-                cat[k] = np.concatenate([np.asarray(o[k]) for o in outs])
+        # ONE device->host transfer per chunk: per-key np.asarray paid a
+        # tunnel round-trip per (chunk, key) — ~0.3 s of the 0.6 s warm
+        # render was host fetches (r5 trace). Pack every per-ray output
+        # into a single (N, C_total) device array and fetch once.
+        keys = sorted(k for k in outs[0] if k != "total_samples")
+        packed = []
+        for o in outs:
+            n = o[keys[0]].shape[0]
+            cols = [o[k].reshape(n, -1).astype(jnp.float32) for k in keys]
+            # total_samples rides as one extra column's first element:
+            # a separate scalar int() fetch cost its own tunnel RTT
+            ts_col = jnp.zeros((n, 1), jnp.float32).at[0, 0].set(
+                o["total_samples"].astype(jnp.float32))
+            packed.append(jnp.concatenate(cols + [ts_col], axis=1))
+        widths = [int(np.prod(outs[0][k].shape[1:])) or 1 for k in keys]
+        host = [np.asarray(p) for p in packed]
+        total_samples = int(sum(h[0, -1] for h in host))
+        cat = {"total_samples": total_samples}
+        for i, k in enumerate(keys):
+            start = sum(widths[:i])
+            cols = [h[:, start:start + widths[i]] for h in host]
+            v = np.concatenate(cols)
+            cat[k] = v[:, 0] if widths[i] == 1 and outs[0][k].ndim == 1 else v
         n_px = H * W
         results = []
         for j in range(len(poses)):
