@@ -175,6 +175,12 @@ def main():
     sync(run_steps(trainer, cfg, 1))
     compile_s = time.perf_counter() - t_c0
     _log(f"first step (compile) {compile_s:.1f}s")
+    # ladder compiles start once the MAIN thread's big compile is done
+    # (concurrent remote compiles can drop the main thread's
+    # connection); 3 background workers then overlap the warmup, the
+    # timed window and the quality training — ~150 s of overlap vs the
+    # ~60 s the ladder needs, so the quality render is truly cold-free
+    trainer.prewarm_render()
     m = run_steps(trainer, cfg, warm - 1, base_step=1)
     _log(f"warmup done ({warm} steps, psnr {sync(m):.2f}, "
          f"rm/ray {float(m['rm_samples_per_ray']):.1f}, "
@@ -220,13 +226,6 @@ def main():
         out["rays_per_s_per_chip"] = round(rays_per_s / args.num_chips, 1)
 
     if not args.skip_quality:
-        # background-compile the test-render bucket ladder NOW (after
-        # the timed window, so compile-server contention can't skew the
-        # throughput number): the compiles overlap the remaining
-        # training, so the quality-gate render pays no ladder-compile
-        # latency (was the 160 s r4 cold start; measured 23 s true-cold
-        # with a fresh compile cache after this prewarm)
-        trainer.prewarm_render()
         # finish a real training run, then gate on held-out quality
         # 4000 steps: the clustering ramp (start 500, grow 2500)
         # reaches full weight at 3000 and needs ~1000 full-weight
