@@ -6,8 +6,17 @@ marching, N-channel compositing, normal-clustering losses) on the
 synthetic Manhattan room at the reference's production shape
 (batch 8192 rays, grid 128, L=16 hash levels — opt.py:46,138),
 reports steady-state ray throughput, then renders the held-out views
-and reports PSNR + depth-normal angular error as the quality gate
-(a perf change that silently breaks learning fails here).
+and reports PSNR + depth-normal angular error + Manhattan rotation
+recovery as the quality gate (a perf change that silently breaks
+learning fails here).
+
+Note: norm_nn_ang_mean (~90 deg) is the UNSUPERVISED NN normal head —
+the reference defines no loss for it anywhere in losses.py, and its
+production config disables the head entirely
+(hyperparameters.py:28 '#--pred_norm_nn'); the bench keeps it on to
+exercise the full multi-task machinery, which makes our vs_baseline
+comparison conservative. The paper's mechanism is measured by
+norm_DEPTH_ang_mean and the rot_* recovery errors, which are gated.
 
 Baseline: the reference runs ~30 it/s x 8192 rays ~= 0.25 M rays/s on
 an RTX 2080 Ti (BASELINE.md). Prints one JSON line.
