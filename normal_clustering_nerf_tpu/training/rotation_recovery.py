@@ -36,6 +36,14 @@ def recover_rotation(normals: np.ndarray, key, K=30, niter=30,
     n[valid] /= norms[valid][:, None]
     n_j, valid_j = jnp.asarray(n), jnp.asarray(valid)
     nv = n[valid]
+    if nv.shape[0] < 3:
+        # untrained / degenerate depth: every normal is zero (e.g.
+        # --val_only before training). NaN scores would otherwise leave
+        # best_R as None; validate() catches ValueError and logs
+        # ang/clust/failed (reference behavior: the clustering simply
+        # produces garbage there).
+        raise ValueError(f"rotation recovery needs >= 3 valid normals, "
+                         f"got {nv.shape[0]}")
     best_R, best_score = None, -np.inf
     for r in range(restarts):
         res = normals_clustering(

@@ -106,3 +106,21 @@ def test_rotation_recovery_handles_left_handed_triples(rng):
             # the bug regime was 20-40 deg; ~5 deg is genuine centroid
             # estimation error at this noise level (0.08 rad ~ 4.6 deg)
             assert v < 8.0, (seed, k, v)
+
+
+def test_rotation_recovery_degenerate_normals_raise_cleanly():
+    """All-zero normals (untrained --val_only validate) must raise the
+    ValueError that trainer.validate() catches and logs as
+    ang/clust/failed — r5 regression: a None frame reached the column
+    matcher and crashed validate with a TypeError."""
+    import jax
+    import pytest
+
+    from normal_clustering_nerf_tpu.training.rotation_recovery import (
+        rotation_recovery_errors,
+    )
+
+    normals = np.zeros((5000, 3), np.float32)
+    with pytest.raises(ValueError):
+        rotation_recovery_errors(normals, np.eye(3, dtype=np.float32),
+                                 jax.random.PRNGKey(0))
