@@ -255,10 +255,17 @@ def main():
         t0 = time.perf_counter()
         val = trainer.validate()
         render_cold_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        trainer.render_images(list(scene.poses))
-        render_s = time.perf_counter() - t0
-        _log(f"render cold {render_cold_s:.1f}s warm {render_s:.1f}s")
+        # median of 3 warm renders: single-shot timing swung 121-149k
+        # rays/s with host-load noise (tunnel transfer + python unpack
+        # share the host with anything else running)
+        warm_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            trainer.render_images(list(scene.poses))
+            warm_times.append(time.perf_counter() - t0)
+        render_s = sorted(warm_times)[1]
+        _log(f"render cold {render_cold_s:.1f}s warm {render_s:.1f}s "
+             f"(3 runs: {', '.join(f'{t:.2f}' for t in warm_times)})")
         out["render_cold_s"] = round(render_cold_s, 1)
         n_px = scene.n_images * W * H
         out["psnr"] = round(val.get("psnr", float("nan")), 2)
