@@ -44,6 +44,9 @@ def spherical_kmeans(normals, valid, key, K=20, niter=20):
         norm = jnp.linalg.norm(sums, axis=-1, keepdims=True)
         return jnp.where(norm > 1e-12, sums / jnp.maximum(norm, 1e-12), centroids)
 
+    # fori_loop, not unrolled: unrolling the 20 tiny iterations was
+    # measured 0.9% SLOWER end-to-end (r5) — the sequential dependency
+    # dominates either way and the unrolled program just compiles bigger
     centroids = jax.lax.fori_loop(0, niter, step, init)
     assign = jnp.argmax(normals @ centroids.T, axis=-1).astype(jnp.int32)
     return centroids, assign
